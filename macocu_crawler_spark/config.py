@@ -1,0 +1,104 @@
+"""Crawl configuration — constants mirrored from the reference's
+util/config.py (file:line citations inline).  Only the *semantic* knobs are
+kept; file/pipe layout knobs of the reference are irrelevant in the Spark
+rebuild (tables replace files).
+
+The reference's soft-real-time loops become logical ROUNDS here: one round is
+one HOST_CONN_INTERVAL tick, so per-host politeness = at most one fetch per
+host per round (config.py:155-158 of the reference).
+"""
+
+from math import log10
+
+# -- URL / host / path checks (reference util/config.py:117, util/http.py:39) --
+MAX_HOSTNAME_LEN = 50          # config.py:117
+MAX_PATH_LEN = 500             # http.py:39
+DOC_SIZE_MIN = 200             # config.py:120
+DOC_SIZE_MAX = 10 * 1024 * 1024  # config.py:121
+
+TLD_WHITELIST = ""             # config.py:173 (regexp; '' = no restriction)
+TLD_NATIVE = ""                # config.py:177
+TLD_BLACKLIST = r"\.tk$"       # config.py:180
+DOMAIN_BLACKLIST = frozenset()       # config.py:195 (None by default)
+DOMAIN_BLACKLIST_EXACT = frozenset() # config.py:197
+DOMAIN_WHITELIST = frozenset()       # config.py:200
+EXTRACT_EMPTY_PAGE_INTERNAL_LINKS = True   # config.py:207
+EXTRACT_EMPTY_PAGE_EXTERNAL_LINKS = False  # config.py:210
+CONVERSION_ENABLED = False     # config.py:350 (binary doc conversion off)
+SSL_ENABLED = True             # config.py:115
+
+# -- Politeness / scheduling (reference util/config.py) --
+IP_CONN_INTERVAL = 1           # config.py:156 [s]
+HOST_CONN_INTERVAL = 20        # config.py:158 [s]; == one round
+# With one round == HOST_CONN_INTERVAL seconds, a single IP may be contacted
+# at most HOST_CONN_INTERVAL / IP_CONN_INTERVAL times per round.
+MAX_CONNS_PER_IP_PER_ROUND = HOST_CONN_INTERVAL // IP_CONN_INTERVAL
+
+MAX_URL_SELECT = 30 * 1000     # config.py:98 (non-BIG_CRAWLING)
+MAX_URL_SELECT_PER_DOMAIN = 20 # config.py:269
+MAX_HOST_URL_QUEUE = 200       # config.py:153
+MAX_DOMAIN_DISTANCE = 50       # config.py:222
+MAX_DOMAIN_NEW_PATHS = 100     # config.py:275
+# domain sweep priority buckets, disabled by default (config.py:224-233)
+DOM_SCHED_HOSTNAME_LEN_RANGES = [MAX_HOSTNAME_LEN]
+DOM_SCHED_DOM_DISTANCE_RANGES = [MAX_DOMAIN_DISTANCE]
+
+MAX_REDIRECTS = 5              # crawl.py redirect handling
+MAX_ROBOT_REDIRECTS = 2        # crawl.py:325
+IGNORE_ROBOTS_WHEN_FAILED = False  # config.py:279
+
+# -- Yield-driven domain kill rule (reference util/domain.py:228-244) --
+MIN_DOCS_DOWNLOADED = 20       # config.py:216 (non-BIG_MACHINE)
+MIN_BYTES_DOWNLOADED = 256 * 1024  # config.py:218
+MAX_DOCS_CLEANED = None        # config.py:220
+
+
+def yield_rate_threshold(doc_count: int) -> float:
+    """Permissive threshold: 100 docs: 0.2%, 1000: 0.4%, 10k: 0.6%.
+
+    Reference util/config.py:246-248.
+    """
+    return 0.002 * (log10(doc_count) - 1)
+
+
+# SQL fragment of the same rule, used in the domains table update and in the
+# DuckDB oracle (operators/domains.py).
+YIELD_RATE_THRESHOLD_SQL = "0.002 * (log10({doc_count}) - 1)"
+
+# -- Language / text pipeline (reference util/config.py:288-339) --
+LANGUAGES = ("English", "Norwegian")     # config.py:297 (set; ordered here
+                                         # for deterministic iteration)
+LANGUAGES_ACCEPT = frozenset({"Norwegian"})  # config.py:299
+LANG_DIFF_THRESHOLD_DOC = 0.6            # config.py:307
+LANG_DIFF_THRESHOLD_PAR = 0.95           # config.py:308
+FORCE_ENCODING = None                    # config.py:310
+SPACE_SEP_TOKENS = True                  # config.py:315
+
+JUSTEXT_LENGTH_LOW = 50                  # config.py:319
+JUSTEXT_LENGTH_HIGH = 100                # config.py:321
+JUSTEXT_STOPWORDS_LOW = 0.2              # config.py:323
+JUSTEXT_STOPWORDS_HIGH = 0.3             # config.py:325
+JUSTEXT_MAX_LINK_DENSITY = 0.4           # config.py:327
+JUSTEXT_MAX_GOOD_DISTANCE = 5            # config.py:329
+JUSTEXT_MAX_HEADING_DISTANCE = 150       # config.py:331
+KEEP_BAD_PARAGRAPHS = False              # config.py:336
+ALLOW_NEARGOOD_PARAGRAPHS = True         # config.py:339 (not BIG_CRAWLING)
+
+DECODE_IDNA_HOSTNAMES = True             # config.py:286
+
+# Strings indicating machine-translated content (reference process.py:68-70).
+MT_STRINGS = (
+    "mqtranslate", "wporg-translate", "wp-translate", "qtranslate",
+    "wporg-translate-css", "machine-translated-from", "qtranslate-x",
+    "delivered by GTranslate", 'name="translation-stats', "data-trp-gettext",
+    'id="weglot',
+)
+
+AGENT = "macocu-spark"  # config.py:108 (crawler identity for robots UA match)
+
+# -- Spark-side tuning --
+SHUFFLE_PARTITIONS = 32
+FRONTIER_BUCKETS = 32      # bucket(N, host) partition count for frontier/domains
+HOT_HOST_SALT_THRESHOLD = 10_000  # frontier rows per host before salting kicks in
+HOT_HOST_SALT_FACTOR = 16
+ARROW_MAX_RECORDS_PER_BATCH = 2048
