@@ -19,6 +19,7 @@ installing chared restores the full ladder).  lxml+justext are replaced by
 from __future__ import annotations
 
 import codecs
+import hashlib
 import re
 from functools import lru_cache
 from importlib import resources
@@ -140,6 +141,19 @@ def txt_decode(text_bs: bytes) -> tuple[str, None, str | None]:
 
 XML_HEADER_RE = re.compile(r"^\s*<\?xml.*")
 TOKEN_SEPARATOR_RE = re.compile(r"\s+", re.UNICODE)
+
+
+def content_hash(text: str) -> int:
+    """Deterministic signed 64-bit content hash.
+
+    Replaces the reference's salted builtin ``hash()`` (process.py:637,641 —
+    SURVEY.md §1.2 caveat): the rebuild needs hashes stable across processes,
+    executors and runs, so dedup *decisions* are reproducible.  blake2b/8B is
+    used because the same function must run in Python (simulator, UDFs);
+    values are interpreted as signed int64 to fit LongType columns.
+    """
+    digest = hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(digest, "big", signed=True)
 
 DOC_LEN_RANGES = (
     (1000000, "1M+"), (100000, "100k-1M"), (10000, "10k-100k"), (5000, "5k-10k"),
@@ -437,11 +451,15 @@ def process_page(
         "enc_chared": chared_enc,
         "token_count": token_count,
         "txt_len": txt_len,
-        "raw_len": len(html_bs),
+        # reference docmeta raw_len = len(decoded html_text), which is ''
+        # for rejected pages (process.py:608, 641) — this is what feeds the
+        # domain counters and thus the yield rule
+        "raw_len": len(html_text),
         "scheme": scheme,
         "host": host,
         "path": path,
-        "html_hash": None,  # filled JVM-side with xxhash64 (SURVEY §1.2 caveat)
+        "html_hash": content_hash(html_text) if html_text else 0,
+        "txt_hash": content_hash(txt) if txt_len else 0,
         "links": sorted(links),
         "binfile_links": sorted(binfile_links),
         "ignored_links": sorted(ignored_links),

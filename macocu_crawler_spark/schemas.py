@@ -142,6 +142,7 @@ EXTRACTED = StructType(
         StructField("host", StringType()),
         StructField("path", StringType()),
         StructField("html_hash", LongType()),
+        StructField("txt_hash", LongType()),
         StructField("links", ArrayType(LINK)),
         StructField("binfile_links", ArrayType(StringType())),
         StructField("ignored_links", ArrayType(IGNORED)),

@@ -1,0 +1,327 @@
+"""Reference-semantics crawl simulator (pure Python, no Spark).
+
+This is the crawl-ordering + URL-seen oracle of SURVEY.md §5.3: it executes
+the reference scheduler's semantics (scheduler.py / domain.py / crawl.py of
+/root/reference) on the fixture web, under the explicit ROUND model both
+this simulator and the Spark driver implement:
+
+- one round == one HOST_CONN_INTERVAL tick; each eligible domain fetches at
+  most ONE URL per round (politeness, config.py:155-158), at most
+  ``ip_cap`` domains per IP per round (IP_CONN_INTERVAL grouping)
+- a domain's first fetch is /robots.txt (domain.py:173-175); robots arrive
+  at the end of the same round
+- per-domain URL order: (len(path), admission order) — domain.py:155
+- domain sweep order: (hostname-length bucket, distance bucket, host,
+  scheme) — scheduler.py:110-140; dict-order nondeterminism of the
+  reference is replaced by the host/scheme tie-break, which is the total
+  order the north rule needs for cross-parallelism determinism
+- link admission at end of round: distance = min-combine(src+1)
+  (scheduler.py:365-401); URL-seen insert-or-skip on the sanitised path
+  *before* the robots check (domain.py:136-150 adds the hash first)
+- links are only extracted from pages that yielded accepted-language text
+  (process.py:607-624)
+- dedup first-wins in wpage_id order: txt then raw (scheduler.py:304-318);
+  duplicates still update domain counters (scheduler.py:319-329)
+- yield rule evaluated per round once past min docs/bytes
+  (domain.py:228-244); counters only accumulate from pages with accepted
+  text (process.py:641 sends len(html_text) which is '' otherwise)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from math import log10
+
+from . import config
+from .fixtures import NO_HOST, FixtureWeb
+from .functions import robots as robotskit
+from .functions import textkit, urlkit
+
+ROBOT_PATH = urlkit.ROBOT_PATH
+
+
+@dataclass
+class CrawlParams:
+    max_rounds: int = 30
+    max_url_select: int = config.MAX_URL_SELECT
+    ip_cap: int = config.MAX_CONNS_PER_IP_PER_ROUND
+    max_host_url_queue: int = config.MAX_HOST_URL_QUEUE
+    min_docs_downloaded: int = config.MIN_DOCS_DOWNLOADED
+    min_bytes_downloaded: int = config.MIN_BYTES_DOWNLOADED
+    yield_coeff: float = 0.002          # config.py:246-248
+    max_domain_distance: int = config.MAX_DOMAIN_DISTANCE
+    hostname_len_ranges: tuple = tuple(config.DOM_SCHED_HOSTNAME_LEN_RANGES)
+    distance_ranges: tuple = tuple(config.DOM_SCHED_DOM_DISTANCE_RANGES)
+    agent: str = config.AGENT
+
+    def yield_threshold(self, doc_count: int) -> float:
+        return self.yield_coeff * (log10(doc_count) - 1)
+
+    def bucket_key(self, host: str, distance: int) -> tuple[int, int]:
+        hb = next((i for i, t in enumerate(self.hostname_len_ranges) if len(host) <= t),
+                  len(self.hostname_len_ranges))
+        db = next((i for i, t in enumerate(self.distance_ranges) if distance <= t),
+                  len(self.distance_ranges))
+        return hb, db
+
+
+@dataclass
+class SimDomain:
+    scheme: str
+    host: str
+    ip: str | None = None
+    distance: int = 0
+    bad: bool = False
+    robot_state: str = "none"  # none | init | ready | fail | empty
+    rules: robotskit.RobotsRules | None = None
+    pending: list[tuple[str, int, int]] = field(default_factory=list)  # (path, batch, seq)
+    count_downloaded: int = 0
+    count_cleaned: int = 0
+    bytes_downloaded: int = 0
+    bytes_cleaned: int = 0
+
+    def robot_allowed(self, agent: str, path: str) -> bool:
+        if self.robot_state == "ready":
+            return self.rules.is_allowed(agent, path)
+        if self.robot_state == "empty":
+            return True
+        if self.robot_state == "fail":
+            return config.IGNORE_ROBOTS_WHEN_FAILED
+        return False  # none/init: undecided (callers treat as allowed-to-queue)
+
+
+@dataclass
+class SimResult:
+    fetch_log: list[tuple[int, int, str]] = field(default_factory=list)
+    url_seen: set[tuple[str, str, str]] = field(default_factory=set)
+    documents: list[dict] = field(default_factory=list)
+    duplicate_ids: list[int] = field(default_factory=list)
+    ignored: list[tuple[str, str, str, str]] = field(default_factory=list)
+    domains: dict = field(default_factory=dict)
+    metrics: list[dict] = field(default_factory=list)
+
+
+class CrawlSimulator:
+    def __init__(self, web: FixtureWeb, params: CrawlParams | None = None) -> None:
+        self.web = web
+        self.params = params or CrawlParams()
+        self.pages = web.page_map()
+        self.robots = web.robots_map()
+        self.dns = web.dns_map()
+        self.redirects = web.redirect_map()
+        self.domains: dict[tuple[str, str], SimDomain] = {}
+        self.url_seen: set[tuple[str, str, str]] = set()
+        self.txt_seen: dict[str, int] = {}
+        self.raw_seen: dict[str, int] = {}
+        self.result = SimResult(url_seen=self.url_seen, domains=self.domains)
+        self.wpage_counter = 0
+        self.seq_counter = 0
+
+    # -- admission (scheduler.py:358-441) ------------------------------------
+    def admit_links(self, round_no: int, links: list[tuple]) -> None:
+        """links: ordered (src_scheme, src_host, scheme, host, path) tuples."""
+        seen_tuples = set()
+        dom_distances: dict[tuple[str, str], int] = {}
+        target_paths: dict[tuple[str, str], list[str]] = {}
+        for src_scheme, src_host, scheme, host, path in links:
+            tup = (src_scheme, src_host, scheme, host, path)
+            if tup in seen_tuples:
+                continue
+            seen_tuples.add(tup)
+            key, src_key = (scheme, host), (src_scheme, src_host)
+            if src_scheme is None and src_host is None:
+                target_distance = 0
+            else:
+                src = self.domains.get(src_key)
+                src_distance = dom_distances.get(src_key, src.distance if src else 0)
+                target_distance = src_distance + 1
+            cur = dom_distances.get(key)
+            if cur is None or target_distance < cur:
+                dom_distances[key] = target_distance
+            if dom_distances[key] <= self.params.max_domain_distance:
+                target_paths.setdefault(key, []).append(path)
+        for key, paths in target_paths.items():
+            scheme, host = key
+            dom = self.domains.get(key)
+            if dom is None:
+                dom = SimDomain(scheme, host, distance=dom_distances[key])
+                self.domains[key] = dom
+                self._add_new_paths(dom, paths + ["/"], round_no)
+                ip = self.dns.get(host, NO_HOST)
+                if ip in (NO_HOST, None):
+                    dom.bad = True
+                else:
+                    dom.ip = ip
+            else:
+                dom.distance = min(dom.distance, dom_distances[key])
+                self._add_new_paths(dom, paths, round_no)
+
+    def _add_new_paths(self, dom: SimDomain, paths: list[str], round_no: int) -> None:
+        """domain.py:136-167: URL-seen insert before robots check, then
+        stable sort by path length."""
+        for path in paths:
+            sanitised = urlkit.sanitise_path(path)
+            key = (dom.scheme, dom.host, sanitised)
+            if key in self.url_seen:
+                continue
+            self.url_seen.add(key)
+            if dom.robot_state in ("none", "init") or dom.robot_allowed(
+                self.params.agent, path
+            ):
+                dom.pending.append((path, round_no, self.seq_counter))
+                self.seq_counter += 1
+        dom.pending.sort(key=lambda t: len(t[0]))  # stable: (len, insertion)
+
+    # -- robots arrival (domain.py:92-121) ------------------------------------
+    def _set_robots(self, dom: SimDomain) -> None:
+        entry = self.robots.get((dom.scheme, dom.host))
+        state = entry["state"] if entry else "EMPTY"
+        if state == "EMPTY" or (entry and not entry["body"].strip()):
+            dom.robot_state = "empty"
+        elif state == "FAIL":
+            dom.robot_state = "fail"
+            if not config.IGNORE_ROBOTS_WHEN_FAILED:
+                dom.bad = True
+        else:
+            try:
+                dom.rules, _delay = robotskit.parse_and_get_crawl_delay(
+                    entry["body"], self.params.agent
+                )
+                dom.robot_state = "ready"
+                dom.pending = [
+                    p for p in dom.pending
+                    if dom.rules.is_allowed(self.params.agent, p[0])
+                ]
+            except Exception:
+                dom.robot_state = "fail"
+                if not config.IGNORE_ROBOTS_WHEN_FAILED:
+                    dom.bad = True
+
+    # -- yield rule (domain.py:228-244) ---------------------------------------
+    def _is_efficient(self, dom: SimDomain) -> bool:
+        if (
+            dom.bytes_downloaded < self.params.min_bytes_downloaded
+            or dom.count_downloaded < self.params.min_docs_downloaded
+        ):
+            return True
+        threshold = self.params.yield_threshold(dom.count_downloaded)
+        if dom.bytes_downloaded and dom.bytes_cleaned / dom.bytes_downloaded < threshold:
+            dom.bad = True
+            return False
+        return True
+
+    # -- one round --------------------------------------------------------------
+    def run_round(self, round_no: int) -> int:
+        # evaluate efficiency (update_domains, scheduler.py:503-526)
+        for dom in self.domains.values():
+            if not dom.bad:
+                self._is_efficient(dom)
+        # select: one URL per eligible domain, ordered
+        candidates = []
+        for key in sorted(self.domains, key=lambda k: (k[1], k[0])):
+            dom = self.domains[key]
+            if dom.bad or dom.ip is None:
+                continue
+            if dom.robot_state == "none":
+                candidates.append((dom, ROBOT_PATH, True))
+            elif dom.robot_state in ("ready", "empty") and dom.pending:
+                candidates.append((dom, dom.pending[0][0], False))
+        candidates.sort(
+            key=lambda c: (
+                self.params.bucket_key(c[0].host, c[0].distance),
+                c[0].host,
+                c[0].scheme,
+            )
+        )
+        # per-IP politeness cap
+        ip_counts: dict[str, int] = {}
+        selected = []
+        for dom, path, is_robot in candidates:
+            n = ip_counts.get(dom.ip, 0)
+            if n >= self.params.ip_cap:
+                continue
+            ip_counts[dom.ip] = n + 1
+            selected.append((dom, path, is_robot))
+            if len(selected) >= self.params.max_url_select:
+                break
+        # fetch + process in order
+        new_links: list[tuple] = []
+        processed = 0
+        for seq, (dom, path, is_robot) in enumerate(selected):
+            url = urlkit.url_join(dom.scheme, dom.host, path)
+            self.result.fetch_log.append((round_no, seq, url))
+            if is_robot:
+                dom.robot_state = "init"
+                self._set_robots(dom)
+                continue
+            dom.pending.pop(0)
+            if url in self.redirects:
+                redir_url = self.redirects[url]
+                parts, reason = urlkit.url_split_and_check_parts(redir_url, dom.host)
+                if parts:
+                    new_links.append((dom.scheme, dom.host) + parts)
+                else:
+                    self.result.ignored.append((dom.scheme, dom.host, reason, redir_url))
+                continue
+            page = self.pages.get(url)
+            if page is None:
+                continue  # 404: slot consumed, nothing recorded
+            body = page["html"]
+            if len(body) < config.DOC_SIZE_MIN or len(body) > config.DOC_SIZE_MAX:
+                continue  # http.py:414-447 size gates
+            wpage_id = self.wpage_counter
+            self.wpage_counter += 1
+            row = textkit.process_page(
+                wpage_id, url, body, page["http_header"],
+                page["warc_ts"].strftime("%Y%m%d%H%M%S"), dom.ip,
+            )
+            processed += 1
+            # dedup (scheduler.py:304-318): txt hash first, then raw hash
+            if row["txt_len"]:
+                txt_key, raw_key = row["txt_hash"], row["html_hash"]
+                if txt_key in self.txt_seen:
+                    self.result.duplicate_ids.append(wpage_id)
+                elif raw_key in self.raw_seen:
+                    self.txt_seen[txt_key] = wpage_id
+                    self.result.duplicate_ids.append(wpage_id)
+                else:
+                    self.txt_seen[txt_key] = wpage_id
+                    self.raw_seen[raw_key] = wpage_id
+            # counters (scheduler.py:319-329): raw_len = len(decoded html) of
+            # accepted pages, 0 otherwise
+            if row["raw_len"]:
+                dom.count_downloaded += 1
+                dom.bytes_downloaded += row["raw_len"]
+                if row["txt_len"]:
+                    dom.count_cleaned += 1
+                    dom.bytes_cleaned += row["txt_len"]
+            self.result.documents.append(row)
+            for reason, bad_url in row["ignored_links"]:
+                self.result.ignored.append((dom.scheme, dom.host, reason, bad_url))
+            for link in row["links"]:
+                new_links.append((dom.scheme, dom.host) + link)
+        self.admit_links(round_no + 1, new_links)
+        self.result.metrics.append(
+            {"round": round_no, "selected": len(selected), "processed": processed}
+        )
+        return len(selected)
+
+    def run(self, seeds: list[str] | None = None) -> SimResult:
+        seeds = seeds if seeds is not None else self.web.seeds
+        seed_links = []
+        for line in seeds:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if "://" not in line:
+                line = f"http://{line}"  # scheduler.py:699-705 bare-host seeds
+            parts, reason = urlkit.url_split_and_check_parts(line)
+            if parts:
+                seed_links.append((None, None) + parts)
+            else:
+                self.result.ignored.append((None, None, reason, line))
+        self.admit_links(0, seed_links)
+        for round_no in range(1, self.params.max_rounds + 1):
+            if self.run_round(round_no) == 0:
+                break
+        return self.result
