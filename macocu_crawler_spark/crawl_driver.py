@@ -1,0 +1,458 @@
+"""The crawl driver: a deterministic round loop over Spark state tables.
+
+One round (SURVEY.md §3.1 "Spark rebuild lifecycle"):
+
+  yield rule → select (scheduler_round) → mock fetch (join vs pages fixture;
+  U11's network layer is out of sandbox scope, interface kept) → extract
+  (mapInPandas) → dedup → counters → robots arrivals → frontier update →
+  link admission → commit
+
+State tables: domains, frontier (pending URLs), url_seen, seen_hashes.
+Outputs: documents, duplicate_ids, fetch_log, metrics.
+
+Every ``checkpoint_every`` rounds the state is committed to the
+SnapshotCatalog (per-round lineage + metrics, north rule); ``resume()``
+reopens the latest committed round and continues — the reference's three
+ad-hoc restart mechanisms collapse into snapshot semantics (SURVEY §3.3).
+
+Determinism: all orderings use the total key (bucket, host, scheme,
+path-length, batch, seq); no ordering depends on partition count, so
+local[8] and local[32] produce identical fetch logs (tested).
+
+Iteration mechanics (local-mode pragmatics, production notes inline):
+- mutable state (frontier, domains) is localCheckpoint'ed once per round to
+  truncate lineage — in production these are Iceberg MERGE targets and the
+  commit itself is the truncation
+- append-only state (url_seen, seen_hashes) grows by pinned increments —
+  in production: table appends
+- small per-round outputs (fetch log, documents, duplicate ids) are
+  collected to the driver and appended at commit time — in production:
+  Iceberg appends; at fixture/bench scale the driver copy is cheaper than
+  one write job per round
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from . import schemas
+from .functions import urlkit
+from .operators.admission import admit_links
+from .operators.dedup import dedup_batch
+from .operators.domains import (
+    apply_robots_arrivals,
+    apply_yield_rule,
+    merge_counters,
+    robots_allowed_udf,
+)
+from .operators.extract import extract_documents
+from .operators.scheduler_round import select_urls
+from .simulator import CrawlParams
+
+REDIR_CHECK_SCHEMA = T.StructType(
+    [
+        T.StructField("scheme", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("reason", T.StringType()),
+    ]
+)
+
+
+@pandas_udf(REDIR_CHECK_SCHEMA)
+def check_redirect_udf(src_host: pd.Series, redir_url: pd.Series) -> pd.DataFrame:
+    """url_split_and_check_parts for redirect targets (process.py:455)."""
+    rows = []
+    for h, u in zip(src_host, redir_url):
+        parts, reason = urlkit.url_split_and_check_parts(u, h)
+        if parts:
+            rows.append((parts[0], parts[1], parts[2], None))
+        else:
+            rows.append((None, None, None, reason))
+    return pd.DataFrame(rows, columns=["scheme", "host", "path", "reason"])
+
+
+DOMAINS_SCHEMA = T.StructType(
+    [
+        T.StructField("scheme", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("ip", T.StringType()),
+        T.StructField("distance", T.IntegerType()),
+        T.StructField("bad", T.BooleanType()),
+        T.StructField("robot_state", T.StringType()),
+        T.StructField("robot_body", T.StringType()),
+        T.StructField("count_downloaded", T.LongType()),
+        T.StructField("count_cleaned", T.LongType()),
+        T.StructField("bytes_downloaded", T.LongType()),
+        T.StructField("bytes_cleaned", T.LongType()),
+    ]
+)
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("scheme", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("path_sanitised", T.StringType()),
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+URL_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("scheme", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("path_sanitised", T.StringType()),
+    ]
+)
+SEEN_HASH_SCHEMA = T.StructType(
+    [T.StructField("hash", T.LongType()), T.StructField("wpage_id", T.LongType())]
+)
+LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("src_scheme", T.StringType()),
+        T.StructField("src_host", T.StringType()),
+        T.StructField("scheme", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+# scalar (non-array) EXTRACTED columns — the documents table
+DOC_COLUMNS = [f.name for f in schemas.DOCUMENTS.fields] + [
+    "scheme", "host", "path", "html_hash", "txt_hash",
+]
+
+
+class CrawlDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        fixture_dir: str,
+        workdir: str,
+        params: CrawlParams | None = None,
+        checkpoint_every: int = 10,
+    ) -> None:
+        from .tables import SnapshotCatalog
+
+        self.spark = spark
+        self.params = params or CrawlParams()
+        self.catalog = SnapshotCatalog(workdir)
+        self.checkpoint_every = checkpoint_every
+        self.round_no = 0
+        self.wpage_base = 0
+        # static fixture inputs (in production: Iceberg pages/robots/dns)
+        self.pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet")).cache()
+        self.robots = spark.read.parquet(os.path.join(fixture_dir, "robots.parquet")).cache()
+        self.dns = spark.read.parquet(os.path.join(fixture_dir, "dns.parquet")).cache()
+        self.redirects = spark.read.parquet(
+            os.path.join(fixture_dir, "redirects.parquet")
+        ).cache()
+        self.seeds_path = os.path.join(fixture_dir, "seeds.txt")
+        # mutable Spark state
+        self.domains: DataFrame | None = None
+        self.frontier: DataFrame | None = None
+        self.url_seen: DataFrame | None = None
+        self.seen_txt: DataFrame | None = None
+        self.seen_raw: DataFrame | None = None
+        # driver-side accumulated outputs (pandas parts; appended at commit)
+        self.doc_parts: list[pd.DataFrame] = []
+        self.fetch_parts: list[pd.DataFrame] = []
+        self.dup_parts: list[pd.DataFrame] = []
+        self.metrics: list[dict] = []
+
+    # -- helpers -----------------------------------------------------------------
+    def _empty(self, schema: T.StructType) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    @staticmethod
+    def _pin(df: DataFrame) -> DataFrame:
+        """Materialise + truncate lineage (iterative loop necessity)."""
+        return df.localCheckpoint(eager=True)
+
+    # -- bootstrap ---------------------------------------------------------------
+    def init_from_seeds(self) -> None:
+        """Seed parsing per scheduler.py:661-714 (comments, bare hosts)."""
+        seed_links = []
+        with open(self.seeds_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                if "://" not in line:
+                    line = f"http://{line}"
+                parts, _reason = urlkit.url_split_and_check_parts(line)
+                if parts:
+                    seed_links.append(parts)
+        links = self.spark.createDataFrame(
+            [(None, None, s, h, p, i) for i, (s, h, p) in enumerate(seed_links)],
+            LINKS_SCHEMA,
+        )
+        self.domains = self._empty(DOMAINS_SCHEMA)
+        self.url_seen = self._empty(URL_SEEN_SCHEMA)
+        self.seen_txt = self._empty(SEEN_HASH_SCHEMA)
+        self.seen_raw = self._empty(SEEN_HASH_SCHEMA)
+        new_rows, new_seen, domains2 = admit_links(
+            links, self.domains, self.url_seen, self.dns, round_no=0, params=self.params
+        )
+        self.frontier = self._pin(new_rows)
+        self.url_seen = self._pin(new_seen)
+        self.domains = self._pin(domains2)
+
+    # -- one round ------------------------------------------------------------------
+    def run_round(self) -> int:
+        self.round_no += 1
+        r = self.round_no
+        domains = apply_yield_rule(self.domains, self.params)
+        selected = select_urls(self.frontier, domains, self.params)
+        selected.persist()
+        n_selected = selected.count()
+        if n_selected == 0:
+            selected.unpersist()
+            self.domains = self._pin(domains)
+            self.metrics.append({"round": r, "selected": 0, "processed": 0})
+            return 0
+        self.fetch_parts.append(
+            selected.select(
+                F.lit(r).cast("long").alias("round"), F.col("fetch_seq"), "url"
+            ).toPandas()
+        )
+        # --- mock fetch (U11): join selected vs fixture web ---
+        page_sel = selected.filter(~F.col("is_robot"))
+        redirect_hits = page_sel.join(
+            self.redirects.withColumnRenamed("url", "r_url"),
+            page_sel.url == F.col("r_url"),
+        )
+        page_hits = (
+            page_sel.join(
+                self.redirects.withColumnRenamed("url", "r_url"),
+                page_sel.url == F.col("r_url"),
+                "left_anti",
+            )
+            .join(self.pages.select("url", "warc_ts", "html", "http_header"), "url")
+            .filter(
+                (F.length("html") >= 200) & (F.length("html") <= 10 * 1024 * 1024)
+            )
+        )
+        wpage_w = Window.orderBy("fetch_seq")
+        page_hits = page_hits.withColumn(
+            "wpage_id", F.lit(self.wpage_base) + F.row_number().over(wpage_w) - 1
+        )
+        docs = extract_documents(page_hits).join(
+            page_hits.select("wpage_id", "fetch_seq"), "wpage_id"
+        )
+        docs.persist()
+        docs_pdf = docs.select(*DOC_COLUMNS).toPandas()
+        n_processed = len(docs_pdf)
+        self.wpage_base += n_processed
+        self.doc_parts.append(docs_pdf)
+        # --- dedup ---
+        dup_ids, new_txt, new_raw = dedup_batch(docs, self.seen_txt, self.seen_raw)
+        self.dup_parts.append(dup_ids.toPandas())
+        self.seen_txt = self._pin(self.seen_txt.unionByName(new_txt))
+        self.seen_raw = self._pin(self.seen_raw.unionByName(new_raw))
+        # --- counters + robots arrivals ---
+        domains = merge_counters(domains, docs)
+        robots_fetched = selected.filter(F.col("is_robot")).select("scheme", "host")
+        domains = self._pin(apply_robots_arrivals(domains, robots_fetched, self.robots))
+        # --- frontier: drop fetched; filter newly-ready hosts by robots ---
+        fetched_keys = page_sel.select("scheme", "host", "path", "batch_id", "seq")
+        frontier = self.frontier.join(
+            fetched_keys, ["scheme", "host", "path", "batch_id", "seq"], "left_anti"
+        )
+        newly_ready = robots_fetched.join(
+            domains.filter(F.col("robot_state") == "ready").select(
+                "scheme", "host", "robot_body"
+            ),
+            ["scheme", "host"],
+        )
+        frontier = (
+            frontier.join(newly_ready, ["scheme", "host"], "left")
+            .withColumn(
+                "keep",
+                F.when(
+                    F.col("robot_body").isNotNull(),
+                    robots_allowed_udf(F.col("robot_body"), F.col("path")),
+                ).otherwise(F.lit(True)),
+            )
+            .filter(F.col("keep"))
+            .drop("robot_body", "keep")
+        )
+        # --- link admission ---
+        doc_links = (
+            docs.filter((F.col("txt_len") > 0) & (F.size("links") > 0))
+            .select(
+                F.col("scheme").alias("src_scheme"),
+                F.col("host").alias("src_host"),
+                "fetch_seq",
+                F.posexplode("links").alias("pos", "link"),
+            )
+            .select(
+                "src_scheme", "src_host", "fetch_seq", "pos",
+                F.col("link.scheme").alias("scheme"),
+                F.col("link.host").alias("host"),
+                F.col("link.path").alias("path"),
+            )
+        )
+        redir_links = (
+            redirect_hits.select(
+                F.col("scheme").alias("src_scheme"),
+                F.col("host").alias("src_host"),
+                "fetch_seq",
+                F.lit(-1).alias("pos"),
+                check_redirect_udf(F.col("host"), F.col("location")).alias("chk"),
+            )
+            .select(
+                "src_scheme", "src_host", "fetch_seq", "pos",
+                F.col("chk.scheme").alias("scheme"),
+                F.col("chk.host").alias("host"),
+                F.col("chk.path").alias("path"),
+            )
+            .filter(F.col("scheme").isNotNull())
+        )
+        links = doc_links.unionByName(redir_links)
+        link_w = Window.orderBy("fetch_seq", "pos")
+        links = links.withColumn(
+            "seq", F.lit(r * 1_000_000_000) + F.row_number().over(link_w)
+        ).drop("fetch_seq", "pos")
+        # pin: the links subtree is referenced many times inside admit_links
+        # (distance, new-domain, seen and robots joins) — without truncation
+        # the analysed plan replicates the whole extract stage per reference
+        links = self._pin(links)
+        new_rows, new_seen, domains2 = admit_links(
+            links, domains, self.url_seen, self.dns, round_no=r, params=self.params
+        )
+        self.frontier = self._pin(frontier.unionByName(new_rows))
+        self.url_seen = self._pin(self.url_seen.unionByName(new_seen))
+        self.domains = self._pin(domains2)
+        docs.unpersist()
+        selected.unpersist()
+        self.metrics.append({"round": r, "selected": n_selected, "processed": n_processed})
+        if self.checkpoint_every and r % self.checkpoint_every == 0:
+            self.commit()
+        return n_selected
+
+    # -- output accessors (Spark DataFrames over driver-side parts) ---------------
+    def _from_parts(self, parts: list[pd.DataFrame], schema) -> DataFrame:
+        non_empty = [p for p in parts if len(p)]
+        if not non_empty:
+            return self._empty(schema)
+        return self.spark.createDataFrame(pd.concat(non_empty, ignore_index=True), schema)
+
+    @property
+    def fetch_log(self) -> DataFrame:
+        schema = "round long, fetch_seq long, url string"
+        return self._from_parts(self.fetch_parts, schema)
+
+    @property
+    def duplicates(self) -> DataFrame:
+        return self._from_parts(self.dup_parts, "wpage_id long")
+
+    @property
+    def documents(self) -> DataFrame:
+        schema = T.StructType(
+            [f for f in schemas.EXTRACTED.fields if f.name in DOC_COLUMNS]
+        )
+        parts = [p[[f.name for f in schema.fields]] for p in self.doc_parts if len(p)]
+        if not parts:
+            return self._empty(schema)
+        return self.spark.createDataFrame(pd.concat(parts, ignore_index=True), schema)
+
+    # -- checkpoint / resume -----------------------------------------------------
+    STATE_TABLES = ("domains", "frontier", "url_seen", "seen_txt", "seen_raw")
+
+    def commit(self) -> None:
+        """Commit a snapshot of all state + outputs at the current round."""
+        for name in self.STATE_TABLES:
+            self.catalog.write(
+                name, getattr(self, name), version=self.round_no,
+                metrics={"round": self.round_no},
+            )
+        for name in ("documents", "fetch_log", "duplicates"):
+            self.catalog.write(
+                name, getattr(self, name), version=self.round_no,
+                metrics={"round": self.round_no},
+            )
+        meta = {
+            "round": self.round_no,
+            "wpage_base": self.wpage_base,
+            "params": asdict(self.params),
+            "metrics": self.metrics,
+        }
+        with open(os.path.join(self.catalog.root, "driver_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def resume(self) -> None:
+        with open(os.path.join(self.catalog.root, "driver_meta.json")) as f:
+            meta = json.load(f)
+        self.round_no = meta["round"]
+        self.wpage_base = meta["wpage_base"]
+        self.metrics = meta["metrics"]
+        for name in self.STATE_TABLES:
+            setattr(self, name, self._pin(self.catalog.read(self.spark, name)))
+        self.doc_parts = [self.catalog.read(self.spark, "documents").toPandas()]
+        self.fetch_parts = [self.catalog.read(self.spark, "fetch_log").toPandas()]
+        self.dup_parts = [self.catalog.read(self.spark, "duplicates").toPandas()]
+
+    def run(self, max_rounds: int | None = None) -> None:
+        if self.domains is None:
+            self.init_from_seeds()
+        limit = max_rounds if max_rounds is not None else self.params.max_rounds
+        start = self.round_no
+        while self.round_no - start < limit:
+            if self.run_round() == 0:
+                break
+        self.commit()
+
+
+def main() -> None:
+    """CLI: run a crawl over the built-in fixture web (or a fixture dir).
+
+    Example: python -m macocu_crawler_spark.crawl_driver --rounds 5
+    In production the same loop is submitted via spark-submit --py-files
+    with the Iceberg catalog configured in place of the fixture dir.
+    """
+    import argparse
+    import tempfile
+
+    from .fixtures import write_fixtures
+    from .session import get_spark
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--rounds", type=int, default=5)
+    parser.add_argument("--workdir", default=None, help="snapshot catalog dir")
+    parser.add_argument("--fixture-dir", default=None,
+                        help="pages/robots/dns parquet dir (default: generate)")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--scale", type=int, default=1)
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args()
+    fixture_dir = args.fixture_dir
+    if fixture_dir is None:
+        fixture_dir = tempfile.mkdtemp(prefix="macocu-fixtures-")
+        write_fixtures(fixture_dir, scale=args.scale)
+    workdir = args.workdir or tempfile.mkdtemp(prefix="macocu-crawl-")
+    spark = get_spark(app_name="macocu-crawl", master=args.master)
+    driver = CrawlDriver(spark, fixture_dir, workdir)
+    if args.resume:
+        driver.resume()
+    driver.run(max_rounds=args.rounds)
+    print(f"workdir: {workdir}")
+    for m in driver.metrics[-args.rounds:]:
+        print(f"round {m['round']}: selected={m['selected']} processed={m['processed']}")
+    total = sum(m["selected"] for m in driver.metrics)
+    print(f"total fetches: {total}; documents: {driver.documents.count()}; "
+          f"url_seen: {driver.url_seen.count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Domain state: yield rule, counter merge, robots arrival.
+
+The reference Domain object (domain.py) becomes one row per (scheme, host);
+state transitions are column expressions + joins (SURVEY.md §1.1):
+
+- yield kill rule A2 (domain.py:228-244 / config.py:246-248): pure column
+  algebra, no UDF
+- counter merge A1 (scheduler.py:319-329): per-round groupBy + left join +
+  coalesce-add (at scale: MERGE INTO on the bucketed domains table)
+- robots arrival U10/F5 (domain.py:92-134): robots bodies parsed in a
+  vectorized pandas UDF; path allowance evaluated by joining rule bodies to
+  candidate paths by host and batching through the parser with a per-
+  executor parse cache
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .. import config
+from ..functions import robots as robotskit
+
+# per-executor cache: robots body -> parsed rules
+_RULES_CACHE: dict[str, robotskit.RobotsRules] = {}
+
+
+def _rules_for(body: str) -> robotskit.RobotsRules:
+    rules = _RULES_CACHE.get(body)
+    if rules is None:
+        rules = robotskit.parse(body)
+        if len(_RULES_CACHE) > 4096:
+            _RULES_CACHE.clear()
+        _RULES_CACHE[body] = rules
+    return rules
+
+
+@pandas_udf(T.StringType())
+def robots_state_udf(state: pd.Series, body: pd.Series) -> pd.Series:
+    """(fixture fetch state, body) -> robot_state (domain.py:92-121).
+
+    FILE -> parse -> ready (parse failure -> fail); EMPTY/blank -> empty;
+    FAIL/missing -> fail.
+    """
+    out = []
+    for s, b in zip(state, body):
+        if s is None or s == "FAIL":
+            out.append("fail")
+        elif s == "EMPTY" or b is None or not b.strip():
+            out.append("empty")
+        else:
+            try:
+                _rules_for(b)
+                out.append("ready")
+            except Exception:
+                out.append("fail")
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(T.BooleanType())
+def robots_allowed_udf(body: pd.Series, path: pd.Series) -> pd.Series:
+    """Vectorized is_allowed for (robots body, path) pairs (F5)."""
+    agent = config.AGENT
+    out = []
+    for b, p in zip(body, path):
+        if b is None or not b.strip():
+            out.append(True)
+            continue
+        try:
+            out.append(bool(_rules_for(b).is_allowed(agent, p)))
+        except Exception:
+            out.append(config.IGNORE_ROBOTS_WHEN_FAILED)
+    return pd.Series(out, dtype="bool")
+
+
+def apply_yield_rule(domains: DataFrame, params) -> DataFrame:
+    """Mark inefficient domains bad (domain.py:228-244).
+
+    threshold = yield_coeff * (log10(count_downloaded) - 1); applies only
+    once count/bytes minimums are reached.
+    """
+    past_min = (F.col("bytes_downloaded") >= params.min_bytes_downloaded) & (
+        F.col("count_downloaded") >= params.min_docs_downloaded
+    )
+    threshold = F.lit(params.yield_coeff) * (F.log10(F.col("count_downloaded")) - 1)
+    violates = past_min & (
+        F.col("bytes_cleaned") / F.col("bytes_downloaded") < threshold
+    )
+    return domains.withColumn(
+        "bad", F.col("bad") | F.coalesce(violates, F.lit(False))
+    )
+
+
+def merge_counters(domains: DataFrame, docs: DataFrame) -> DataFrame:
+    """Add the round's per-domain download/clean counters (A1).
+
+    Only pages with accepted text contribute (raw_len is the decoded-html
+    length, 0 for rejected pages — process.py:608,641 / scheduler.py:319-329).
+    """
+    per_dom = (
+        docs.filter(F.col("raw_len") > 0)
+        .groupBy("scheme", "host")
+        .agg(
+            F.count("*").alias("d_count"),
+            F.sum("raw_len").alias("d_bytes"),
+            F.sum(F.when(F.col("txt_len") > 0, 1).otherwise(0)).alias("c_count"),
+            F.sum("txt_len").alias("c_bytes"),
+        )
+    )
+    merged = (
+        domains.join(per_dom, ["scheme", "host"], "left")
+        .withColumn(
+            "count_downloaded", F.col("count_downloaded") + F.coalesce("d_count", F.lit(0))
+        )
+        .withColumn(
+            "bytes_downloaded", F.col("bytes_downloaded") + F.coalesce("d_bytes", F.lit(0))
+        )
+        .withColumn(
+            "count_cleaned", F.col("count_cleaned") + F.coalesce("c_count", F.lit(0))
+        )
+        .withColumn(
+            "bytes_cleaned", F.col("bytes_cleaned") + F.coalesce("c_bytes", F.lit(0))
+        )
+        .drop("d_count", "d_bytes", "c_count", "c_bytes")
+    )
+    return merged
+
+
+def apply_robots_arrivals(
+    domains: DataFrame, robots_fetches: DataFrame, robots_table: DataFrame
+) -> DataFrame:
+    """Update domains whose /robots.txt was fetched this round.
+
+    robots_fetches: (scheme, host) fetched this round.  robots_table:
+    (scheme, host, state, body) fixture source (U11 mock — in production
+    the fetch UDF fills state/body).
+    """
+    arrivals = (
+        robots_fetches.select("scheme", "host")
+        .join(robots_table, ["scheme", "host"], "left")
+        .withColumn("new_state", robots_state_udf(F.col("state"), F.col("body")))
+        .select(
+            "scheme", "host", "new_state",
+            F.when(F.col("new_state") == "ready", F.col("body"))
+            .otherwise(F.lit(None))
+            .alias("new_body"),
+        )
+    )
+    updated = (
+        domains.join(arrivals, ["scheme", "host"], "left")
+        .withColumn("robot_state", F.coalesce("new_state", "robot_state"))
+        .withColumn("robot_body", F.coalesce("new_body", "robot_body"))
+        .withColumn(
+            "bad",
+            F.col("bad")
+            | F.coalesce(  # left-joined new_state is NULL for other domains
+                (F.col("new_state") == "fail")
+                & F.lit(not config.IGNORE_ROBOTS_WHEN_FAILED),
+                F.lit(False),
+            ),
+        )
+        .drop("new_state", "new_body")
+    )
+    return updated

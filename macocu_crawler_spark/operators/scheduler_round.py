@@ -1,0 +1,98 @@
+"""Per-round URL selection — the scheduler's priority queue as one query.
+
+Reference semantics (SURVEY.md §2.6 O1-O7):
+- O5 robots-first: a domain whose robot_state is 'none' selects /robots.txt
+  (domain.py:173-175)
+- O1 per-domain order: (length(path), batch_id, seq) (domain.py:155)
+- politeness: ≤1 URL per host per round (HOST_CONN_INTERVAL == 1 round);
+  ≤ip_cap domains per IP per round (IP_CONN_INTERVAL grouping,
+  crawl.py:239-283)
+- O3 domain sweep order: (hostname-len bucket, distance bucket, host,
+  scheme) — buckets disabled in default config (single range), the
+  host/scheme tie-break is the total order that makes results identical
+  across parallelism levels (north rule)
+- O4 global cap MAX_URL_SELECT (ordered limit)
+
+Scale notes: the per-domain pick is one shuffle by (scheme, host) — the
+same partitioning the frontier table is bucketed by, so with a bucketed
+frontier this is shuffle-free.  The global ordered limit is a TopK
+(TakeOrderedAndProject), driver-light at k=30k.  The final global
+row_number for fetch_seq runs over k rows, not the frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urlkit import ROBOT_PATH
+
+
+def bucket_index_col(value_col, ranges) -> F.Column:
+    """Index of the first range threshold >= value (scheduler.py:117-124)."""
+    expr = F.lit(len(ranges))
+    for i in reversed(range(len(ranges))):
+        expr = F.when(value_col <= ranges[i], F.lit(i)).otherwise(expr)
+    return expr
+
+
+def select_urls(
+    frontier: DataFrame,
+    domains: DataFrame,
+    params,
+) -> DataFrame:
+    """Returns the round's fetch list: (scheme, host, path, ip, distance,
+    is_robot, batch_id, seq, fetch_seq, url) ordered by fetch_seq."""
+    live = domains.filter(~F.col("bad") & F.col("ip").isNotNull())
+    robot_cand = (
+        live.filter(F.col("robot_state") == "none")
+        .select(
+            "scheme", "host", "ip", "distance",
+            F.lit(ROBOT_PATH).alias("path"),
+            F.lit(True).alias("is_robot"),
+            F.lit(None).cast("long").alias("batch_id"),
+            F.lit(None).cast("long").alias("seq"),
+        )
+    )
+    ready = live.filter(F.col("robot_state").isin("ready", "empty")).select(
+        "scheme", "host", "ip", "distance"
+    )
+    per_domain = Window.partitionBy("scheme", "host").orderBy(
+        F.length("path").asc(), F.col("batch_id").asc(), F.col("seq").asc()
+    )
+    page_cand = (
+        frontier.join(ready, ["scheme", "host"])
+        .withColumn("rn", F.row_number().over(per_domain))
+        .filter(F.col("rn") == 1)
+        .select(
+            "scheme", "host", "ip", "distance", "path",
+            F.lit(False).alias("is_robot"), "batch_id", "seq",
+        )
+    )
+    cand = robot_cand.unionByName(page_cand)
+    cand = cand.withColumn(
+        "hb", bucket_index_col(F.length("host"), list(params.hostname_len_ranges))
+    ).withColumn(
+        "db", bucket_index_col(F.col("distance"), list(params.distance_ranges))
+    )
+    order = [F.col("hb").asc(), F.col("db").asc(), F.col("host").asc(), F.col("scheme").asc()]
+    ip_w = Window.partitionBy("ip").orderBy(*order)
+    cand = cand.withColumn("ip_rn", F.row_number().over(ip_w)).filter(
+        F.col("ip_rn") <= params.ip_cap
+    )
+    fetch_w = Window.orderBy(*order)
+    selected = (
+        cand.withColumn("fetch_seq", F.row_number().over(fetch_w))
+        .filter(F.col("fetch_seq") <= params.max_url_select)
+        .withColumn(
+            "url",
+            F.concat(
+                F.col("scheme"), F.lit("://"), F.col("host"),
+                F.when(F.col("path").startswith("/"), F.col("path")).otherwise(
+                    F.concat(F.lit("/"), F.col("path"))
+                ),
+            ),
+        )
+        .drop("hb", "db", "ip_rn")
+    )
+    return selected

@@ -1,0 +1,123 @@
+"""Crawl-ordering + URL-seen equivalence (SURVEY.md §5.3-5.5).
+
+The Spark driver must reproduce the simulator's (reference-semantics) fetch
+sequence, URL-seen set, dedup decisions and byte-identical documents; its
+results must not depend on partitioning; and a resumed run must equal an
+uninterrupted one.
+"""
+
+import tempfile
+
+import pytest
+
+from macocu_crawler_spark.crawl_driver import CrawlDriver
+from macocu_crawler_spark.simulator import CrawlParams, CrawlSimulator
+
+ROUNDS = 10
+
+
+@pytest.fixture(scope="module")
+def sim_result(fixture_web):
+    return CrawlSimulator(fixture_web, CrawlParams(max_rounds=ROUNDS)).run()
+
+
+@pytest.fixture(scope="module")
+def driver_result(spark, fixture_dir):
+    drv = CrawlDriver(
+        spark, fixture_dir, tempfile.mkdtemp(),
+        CrawlParams(max_rounds=ROUNDS), checkpoint_every=0,
+    )
+    drv.run()
+    return drv
+
+
+def _fetch_log(drv):
+    return [
+        (r["round"], r.fetch_seq, r.url)
+        for r in drv.fetch_log.orderBy("round", "fetch_seq").collect()
+    ]
+
+
+def test_fetch_order_matches_simulator(sim_result, driver_result):
+    sim_log = [(r, s + 1, u) for r, s, u in sim_result.fetch_log]
+    assert _fetch_log(driver_result) == sim_log
+
+
+def test_url_seen_matches_simulator(sim_result, driver_result):
+    spark_seen = {
+        (r.scheme, r.host, r.path_sanitised)
+        for r in driver_result.url_seen.collect()
+    }
+    assert spark_seen == sim_result.url_seen
+
+
+def test_duplicates_match_simulator(sim_result, driver_result):
+    spark_dups = sorted(r.wpage_id for r in driver_result.duplicates.collect())
+    assert spark_dups == sorted(sim_result.duplicate_ids)
+
+
+def test_documents_byte_identical(sim_result, driver_result):
+    sim_docs = {d["url"]: (d["text"], d["prevert"]) for d in sim_result.documents}
+    spark_docs = {
+        r.url: (r.text, r.prevert)
+        for r in driver_result.documents.select("url", "text", "prevert").collect()
+    }
+    assert spark_docs == sim_docs
+
+
+def test_domain_counters_match(sim_result, driver_result):
+    sim_doms = {
+        (k[0], k[1]): (d.count_downloaded, d.bytes_downloaded, d.count_cleaned,
+                       d.bytes_cleaned, d.bad)
+        for k, d in sim_result.domains.items()
+    }
+    spark_doms = {
+        (r.scheme, r.host): (r.count_downloaded, r.bytes_downloaded,
+                             r.count_cleaned, r.bytes_cleaned, r.bad)
+        for r in driver_result.domains.collect()
+    }
+    assert spark_doms == sim_doms
+
+
+def test_determinism_across_partitioning(spark, fixture_dir, sim_result):
+    """North rule: identical results at different parallelism.  Shuffle
+    partition count is the parallelism dial inside one JVM; local[8] vs
+    local[32] is evidenced in bench.py the same way."""
+    logs = []
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("2", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            drv = CrawlDriver(
+                spark, fixture_dir, tempfile.mkdtemp(),
+                CrawlParams(max_rounds=6), checkpoint_every=0,
+            )
+            drv.run()
+            logs.append(_fetch_log(drv))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert logs[0] == logs[1]
+    sim_prefix = [(r, s + 1, u) for r, s, u in sim_result.fetch_log if r <= 6]
+    assert logs[0] == sim_prefix
+
+
+def test_resume_equals_uninterrupted(spark, fixture_dir, sim_result, driver_result):
+    """Kill after round 5, resume from the committed snapshot, continue to
+    ROUNDS — results equal the uninterrupted run (SURVEY §3.3)."""
+    workdir = tempfile.mkdtemp()
+    drv1 = CrawlDriver(
+        spark, fixture_dir, workdir, CrawlParams(max_rounds=5), checkpoint_every=5
+    )
+    drv1.run()
+    del drv1  # "crash"
+    drv2 = CrawlDriver(
+        spark, fixture_dir, workdir,
+        CrawlParams(max_rounds=ROUNDS), checkpoint_every=0,
+    )
+    drv2.resume()
+    drv2.run(max_rounds=ROUNDS - 5)
+    assert _fetch_log(drv2) == _fetch_log(driver_result)
+    seen1 = {(r.scheme, r.host, r.path_sanitised) for r in drv2.url_seen.collect()}
+    seen2 = {(r.scheme, r.host, r.path_sanitised)
+             for r in driver_result.url_seen.collect()}
+    assert seen1 == seen2
