@@ -1,38 +1,588 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps the engine's operator inventory (SURVEY.md §2) onto the
+driver's tables; every SQL-expressible operator has a DuckDB oracle in
+``oracle_sql()`` with IDENTICAL column names and float rounding.  Crawl-
+specific operators (the round loop, the extract pipeline, trigram langid,
+multimodal stubs) are rows-only entries — their correctness gates are the
+simulator-equivalence and byte-identical tests in tests/.
+
+Float policy: every computed double is round(x, 4) (money: round(x, 2)) on
+BOTH sides so cross-engine summation-order differences cannot flip the
+value hash.  Embeddings are cast to double before any math on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from macocu_crawler_spark.pipeline import dedup_text, similarity, textstats  # noqa: E402
+from macocu_crawler_spark.streaming import windows as streamwin  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus-quality summary — exact dedup + token stats +
+    quality classes per language over the documents table (the
+    post-crawl corpus pipeline in one query)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    stats = textstats.token_stats(docs)
+    quality = textstats.quality_scores(docs)
+    dedup = dedup_text.exact_dedup(docs).select("doc_id")
+    return (
+        docs.join(stats, "doc_id")
+        .join(quality, "doc_id")
+        .join(dedup.withColumn("is_canonical", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("is_canonical", F.lit(0))).alias("n_unique"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(
+                F.sum(F.when(F.col("quality_class") == "good", 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("good_frac"),
+        )
+        .orderBy("lang")
+    )
 
+
+# ---------------------------------------------------------------------------
+# relational operator inventory (SURVEY §2.3-2.7) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):  # A1/A4 aggregation shape
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark, sf):  # J1 join + O4 ordered limit
+    li, orders = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_topk_per_key(spark, sf):  # O1/O2 per-domain ordered cap
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "rn")
+    )
+
+
+def q_politeness_pick(spark, sf):  # politeness: 1 per (host, tick)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("tick"),
+            "event_id",
+        )
+    )
+
+
+def q_yield_rule(spark, sf):  # A2 yield-kill algebra
+    ev = _t(spark, sf, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_downloaded"),
+        F.round(F.sum("value"), 4).alias("bytes_downloaded"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            4,
+        ).alias("bytes_cleaned"),
+    )
+    threshold = F.lit(0.05) * (F.log10(F.col("n_downloaded")) - 1)
+    return (
+        agg.filter(F.col("n_downloaded") >= 10)
+        .withColumn(
+            "is_bad",
+            (F.col("bytes_cleaned") / F.col("bytes_downloaded")) < threshold,
+        )
+        .select("user_id", "n_downloaded", "bytes_downloaded", "bytes_cleaned", "is_bad")
+    )
+
+
+def q_seen_antijoin(spark, sf):  # F6/J6 anti-join dedup shape
+    return _t(spark, sf, "customer").join(
+        _t(spark, sf, "orders"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+def q_semijoin(spark, sf):  # left-semi "domain exists" shape
+    return _t(spark, sf, "part").join(
+        _t(spark, sf, "lineitem"),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
+    ).select("p_partkey", "p_brand")
+
+
+def q_distance_min(spark, sf):  # J4 min-combine relaxation shape
+    sup, nat = _t(spark, sf, "supplier"), _t(spark, sf, "nation")
+    return (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.min("s_acctbal") + 1, 2).alias("relaxed_min"))
+    )
+
+
+def q_broadcast_star(spark, sf):  # J2 broadcast dimension joins
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_host_queue_counts(spark, sf):  # A3/O7 per-host queue count + cap
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_queued"))
+        .filter(F.col("n_queued") > 15)
+    )
+
+
+def q_union_dedup(spark, sf):  # §2.7 set ops
+    a = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    b = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    return a.unionByName(b).distinct()
+
+
+def q_running_min(spark, sf):  # admission running-min distance window
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(F.min("value").over(w), 4).alias("running_min")
+    )
+
+
+def q_doc_len_buckets(spark, sf):  # P10 doc-length bucketing
+    docs = _t(spark, sf, "documents")
+    bucket = (
+        F.when(F.col("n_chars") >= 1000, "1k+")
+        .when(F.col("n_chars") >= 500, "500-1k")
+        .when(F.col("n_chars") >= 100, "100-500")
+        .otherwise("0-100")
+    )
+    return docs.groupBy(bucket.alias("len_bucket")).agg(F.count("*").alias("n_docs"))
+
+
+def q_date_format(spark, sf):  # P9/P14 date handling
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("day_value"))
+
+
+def q_regexp_filter(spark, sf):  # F1-style regex admission
+    docs = _t(spark, sf, "documents")
+    return docs.filter(F.col("text").rlike("join .*join")).select("doc_id", "lang")
+
+
+def q_events_tumbling(spark, sf):  # §2.9 streaming agg (batch-equivalent form)
+    return streamwin.windowed_counts_batch(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# URL kernel on an inline URL list (P1-P5/F1-F4 reason cascade)
+# ---------------------------------------------------------------------------
+
+ADMISSION_URLS = [
+    "http://example.no/page.html",
+    "https://example.no/a/b.html?q=1",
+    "short",
+    "ftp://files.example.no/x.dat",
+    "http://" + "a" * 60 + ".no/x.html",
+    "http://www.www.example.no/x.html",
+    "http://spam.tk/free.html",
+    "http://ok.no/" + "seg/" * 40 + "deep.html",
+    "http://ok.no/x/x/x/x/x/x/x",
+    "http://ok.no/image.jpg",
+    "http://ok.no/report.pdf",
+    "http://ok.no/fine/path.html",
+]
+
+
+def q_url_admission(spark, sf):
+    from macocu_crawler_spark.functions import urlkit
+
+    rows = []
+    for u in ADMISSION_URLS:
+        parts, reason = urlkit.url_split_and_check_parts(u)
+        rows.append((u, reason or "accepted"))
+    return spark.createDataFrame(rows, "url string, reason string")
+
+
+URL_ADMISSION_ORACLE_VALUES = ", ".join(f"('{u}')" for u in ADMISSION_URLS)
+URL_ADMISSION_ORACLE = f"""
+WITH urls(url) AS (VALUES {URL_ADMISSION_ORACLE_VALUES}),
+parsed AS (
+  SELECT url,
+         regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         coalesce(nullif(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), ''), '/') AS path
+  FROM urls
+)
+SELECT url,
+  CASE
+    WHEN NOT regexp_matches(url, '^https?://.+\\..+') OR length(url) < 12
+      THEN 'url-invalid-or-short'
+    WHEN scheme NOT IN ('http', 'https') THEN 'scheme-unsupported'
+    WHEN length(host) > 50 THEN 'host-too-long'
+    WHEN host LIKE 'www.www.%'
+         OR len(list_distinct(string_split(host, '.'))) + 3 < len(string_split(host, '.'))
+      THEN 'host-repetitive'
+    WHEN regexp_matches(host, '\\.tk$') THEN 'host-blacklisted-TLD'
+    WHEN length(path) > 500
+         OR len(string_split(path, '/')) - 1 > 30
+         OR len(string_split(path, '.')) - 1 > 30
+      THEN 'path-too-long'
+    WHEN len(list_distinct(string_split(path, '/'))) + 4 < len(string_split(path, '/'))
+      THEN 'path-repetitive'
+    WHEN regexp_matches(lower(path), '\\.(7z|jpg|jpeg|png|gif|zip|css|js|xml|mp3|mp4)$')
+      THEN 'path-bad-file-type'
+    WHEN regexp_matches(lower(path), '\\.(doc|docx|odt|pdf|ps)$') THEN 'path-binary-file'
+    ELSE 'accepted'
+  END AS reason
+FROM parsed
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl-specific rows-only entries (non-SQL; gated by tests/)
+# ---------------------------------------------------------------------------
+
+_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _fixture_dir() -> str:
+    if "dir" not in _FIXTURE_CACHE:
+        import tempfile
+
+        from macocu_crawler_spark.fixtures import write_fixtures
+
+        d = tempfile.mkdtemp(prefix="macocu-entry-fixtures-")
+        write_fixtures(d)
+        _FIXTURE_CACHE["dir"] = d
+    return _FIXTURE_CACHE["dir"]
+
+
+def q_crawl_rounds(spark, sf):
+    """5 crawl rounds on the fixture web → deterministic fetch log."""
+    import tempfile
+
+    from macocu_crawler_spark.crawl_driver import CrawlDriver
+    from macocu_crawler_spark.simulator import CrawlParams
+
+    drv = CrawlDriver(
+        spark, _fixture_dir(), tempfile.mkdtemp(),
+        CrawlParams(max_rounds=5), checkpoint_every=0,
+    )
+    drv.run()
+    return drv.fetch_log.orderBy("round", "fetch_seq")
+
+
+def q_crawl_extract(spark, sf):
+    """The page pipeline over the fixture pages (byte-identical contract
+    is asserted in tests; here: stable scalar projection)."""
+    from macocu_crawler_spark.operators.extract import extract_documents
+
+    pages = spark.read.parquet(f"{_fixture_dir()}/pages.parquet").withColumn(
+        "wpage_id", F.row_number().over(Window.orderBy("url")) - 1
+    )
+    return extract_documents(pages).select(
+        "url", "lang", "txt_len", "token_count", "txt_hash"
+    )
+
+
+def q_robots_filter(spark, sf):
+    """Robots allowance matrix for fixture (host, path) pairs via the
+    vectorized rules UDF (F5/U10)."""
+    from macocu_crawler_spark.operators.domains import robots_allowed_udf
+
+    robots = spark.read.parquet(f"{_fixture_dir()}/robots.parquet")
+    paths = spark.createDataFrame(
+        [("/",), ("/privat/skjult.html",), ("/nyhet1.html",), ("/ingen/x.html",)],
+        "path string",
+    )
+    return robots.crossJoin(paths).select(
+        "host", "path", robots_allowed_udf(F.col("body"), F.col("path")).alias("allowed")
+    )
+
+
+def q_multimodal_features(spark, sf):
+    from macocu_crawler_spark.pipeline import multimodal
+
+    media = multimodal.synthetic_media(spark)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "payload_bytes", F.size("feature").alias("dim"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v), 4).alias("feat_sum"),
+    )
+
+
+def q_langid_trigram(spark, sf):
+    return textstats.langid_trigram(_t(spark, sf, "documents"))
+
+
+def q_ann_lsh(spark, sf):
+    return similarity.ann_lsh_topk(_emb(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational inventory
+        "q_pricing_summary": q_pricing_summary,
+        "q_top_revenue_orders": q_top_revenue_orders,
+        "q_topk_per_key": q_topk_per_key,
+        "q_politeness_pick": q_politeness_pick,
+        "q_yield_rule": q_yield_rule,
+        "q_seen_antijoin": q_seen_antijoin,
+        "q_semijoin": q_semijoin,
+        "q_distance_min": q_distance_min,
+        "q_broadcast_star": q_broadcast_star,
+        "q_host_queue_counts": q_host_queue_counts,
+        "q_union_dedup": q_union_dedup,
+        "q_running_min": q_running_min,
+        "q_doc_len_buckets": q_doc_len_buckets,
+        "q_date_format": q_date_format,
+        "q_regexp_filter": q_regexp_filter,
+        "q_events_tumbling": q_events_tumbling,
+        "q_url_admission": q_url_admission,
+        # training-data pipeline ops
+        "dedup_exact": lambda s, sf: dedup_text.exact_dedup(_t(s, sf, "documents")),
+        "dedup_minhash_lsh": lambda s, sf: dedup_text.minhash_lsh_pairs(
+            _t(s, sf, "documents")
+        ),
+        "dedup_simhash": lambda s, sf: dedup_text.simhash(_t(s, sf, "documents")),
+        "dedup_simhash_groups": lambda s, sf: dedup_text.simhash_dup_groups(
+            _t(s, sf, "documents")
+        ),
+        "dedup_ngram_jaccard": lambda s, sf: dedup_text.ngram_jaccard_pairs(
+            _t(s, sf, "documents"), threshold=0.5
+        ),
+        "dedup_embedding_cosine": lambda s, sf: similarity.cosine_pairs(
+            _emb(s, sf), threshold=0.3
+        ),
+        "ann_bruteforce_topk": lambda s, sf: similarity.ann_bruteforce_topk(_emb(s, sf)),
+        "text_token_stats": lambda s, sf: textstats.token_stats(_t(s, sf, "documents")),
+        "text_quality_scores": lambda s, sf: textstats.quality_scores(
+            _t(s, sf, "documents")
+        ),
+        "doc_fingerprints": lambda s, sf: dedup_text.fingerprints(
+            _t(s, sf, "documents")
+        ),
+        # rows-only (non-SQL-expressible; correctness gated in tests/)
+        "langid_trigram": q_langid_trigram,
+        "ann_lsh_topk": q_ann_lsh,
+        "crawl_rounds": q_crawl_rounds,
+        "crawl_extract": q_crawl_extract,
+        "robots_filter": q_robots_filter,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_top_revenue_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q_topk_per_key": """
+            SELECT l_orderkey, l_linenumber, rn FROM (
+              SELECT l_orderkey, l_linenumber,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+              FROM lineitem
+            ) WHERE rn <= 2
+        """,
+        "q_politeness_pick": """
+            SELECT user_id, tick, event_id FROM (
+              SELECT user_id, date_trunc('hour', ts) AS tick, event_id,
+                     row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "q_yield_rule": """
+            SELECT user_id, n_downloaded, bytes_downloaded, bytes_cleaned,
+                   (bytes_cleaned / bytes_downloaded) < 0.05 * (log10(n_downloaded) - 1)
+                     AS is_bad
+            FROM (
+              SELECT user_id, count(*) AS n_downloaded,
+                     round(sum(value), 4) AS bytes_downloaded,
+                     round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4)
+                       AS bytes_cleaned
+              FROM events GROUP BY user_id
+            ) WHERE n_downloaded >= 10
+        """,
+        "q_seen_antijoin": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q_semijoin": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        """,
+        "q_distance_min": """
+            SELECT n_name, round(min(s_acctbal) + 1, 2) AS relaxed_min
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_broadcast_star": """
+            SELECT r_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q_host_queue_counts": """
+            SELECT user_id, count(*) AS n_queued FROM events
+            GROUP BY user_id HAVING count(*) > 15
+        """,
+        "q_union_dedup": """
+            SELECT DISTINCT custkey FROM (
+              SELECT o_custkey AS custkey FROM orders
+              UNION ALL SELECT c_custkey AS custkey FROM customer
+            )
+        """,
+        "q_running_min": """
+            SELECT user_id, event_id,
+                   round(min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_min
+            FROM events
+        """,
+        "q_doc_len_buckets": """
+            SELECT CASE WHEN n_chars >= 1000 THEN '1k+'
+                        WHEN n_chars >= 500 THEN '500-1k'
+                        WHEN n_chars >= 100 THEN '100-500'
+                        ELSE '0-100' END AS len_bucket,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "q_date_format": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+                   round(sum(value), 4) AS day_value
+            FROM events GROUP BY 1
+        """,
+        "q_regexp_filter": """
+            SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'join .*join')
+        """,
+        "q_events_tumbling": streamwin.WINDOWED_COUNTS_ORACLE,
+        "q_url_admission": URL_ADMISSION_ORACLE,
+        "dedup_exact": dedup_text.EXACT_DEDUP_ORACLE,
+        "dedup_minhash_lsh": dedup_text.MINHASH_PAIRS_ORACLE,
+        "dedup_simhash": dedup_text.SIMHASH_ORACLE,
+        "dedup_simhash_groups": dedup_text.SIMHASH_GROUPS_ORACLE,
+        "dedup_ngram_jaccard": dedup_text.ngram_jaccard_oracle(threshold=0.5),
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.label = b.label
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4) >= 0.3
+        """,
+        "ann_bruteforce_topk": """
+            SELECT query_id, neighbor_id, cos, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]), 4) AS cos,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                             c.embedding::DOUBLE[]), 4) DESC,
+                                c.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10
+            ) WHERE rank <= 5
+        """,
+        "text_token_stats": textstats.TOKEN_STATS_ORACLE,
+        "text_quality_scores": textstats.QUALITY_ORACLE,
+        "doc_fingerprints": dedup_text.FINGERPRINT_ORACLE,
+    }

@@ -1,0 +1,287 @@
+"""Text dedup for training-data pipelines: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, fingerprinting.
+
+These generalise the crawler's exact dedup (scheduler.py:304-318) to the
+near-dup family a 100 TB corpus pipeline needs.  Every op is:
+
+- pure `pyspark.sql.functions` column algebra (JVM-side, whole-stage
+  codegen; no Python UDFs in the hot path), and
+- paired with a DuckDB oracle SQL (same math via md5/ascii primitives that
+  both engines implement identically), kept adjacent so they stay in sync.
+
+Scale notes:
+- MinHash+LSH: the band self-join is the scale path — candidates are pairs
+  sharing a band bucket, so the shuffle is by band key, never all-pairs.
+  Hot buckets (boilerplate-heavy corpora) are handled by AQE skew join; a
+  salting pass can cap bucket size if needed.
+- SimHash groups by 16-bit fingerprint — a bounded-cardinality shuffle.
+- n-gram Jaccard is quadratic per group: ALWAYS gate it behind a blocking
+  key (here: `source`; in the crawler: LSH bucket or host).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_K = 8
+LSH_BANDS = 4  # band size = MINHASH_K / LSH_BANDS = 2
+
+
+def tokens_col(text: str = "text"):
+    return F.split(F.col(text), " ")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy, first-wins by doc_id)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """One row per distinct text: winner doc_id + duplicate count."""
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        documents.select("doc_id", F.md5("text").alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy("h")) - 1)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("h").alias("text_hash"), "dup_count")
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT doc_id, text_hash, dup_count FROM (
+  SELECT doc_id, md5(text) AS text_hash,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) - 1 AS dup_count
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (shingle -> K minhashes -> bands -> bucket join)
+# ---------------------------------------------------------------------------
+
+def _shingles(n: int = 2):
+    """Distinct n-gram shingles of the whitespace tokens (n=2)."""
+    toks = tokens_col()
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size(split(text, ' ')) - {n}, 0)),"
+            f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+        )
+    )
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, k, minhash): K min-over-md5 signatures per doc.
+
+    Hash family: md5(k || ':' || shingle) — k-salted md5, min taken as the
+    lexicographically smallest hex string (identical in both engines).
+    """
+    sh = documents.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    ks = sh.select(
+        "doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("k")
+    )
+    return ks.groupBy("doc_id", "k").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("k"), F.col("shingle")))).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band.
+
+    Bands: MINHASH_K/LSH_BANDS consecutive signatures concatenated.
+    Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
+    """
+    sig = minhash_signatures(documents)
+    band_size = MINHASH_K // LSH_BANDS
+    bands = (
+        sig.withColumn("band", (F.col("k") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+MINHASH_PAIRS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), positions AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         t[i] || CASE WHEN i < len(t) THEN ' ' || t[i+1] ELSE '' END AS shingle
+  FROM positions
+  WHERE i <= greatest(len(t) - 1, 1)
+), sigs AS (
+  SELECT doc_id, k, min(md5(k || ':' || shingle)) AS minhash
+  FROM shingles, range(0, {MINHASH_K}) AS r(k)
+  GROUP BY doc_id, k
+), bands AS (
+  -- NB: // (integer division) — DuckDB's CAST(x/2 AS INT) *rounds*,
+  -- Spark's cast truncates; // matches Spark's floor semantics
+  SELECT doc_id, CAST(k // {MINHASH_K // LSH_BANDS} AS INT) AS band,
+         string_agg(minhash, '|' ORDER BY minhash) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(k // {MINHASH_K // LSH_BANDS} AS INT)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-nibble bit source)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash of the token multiset.
+
+    bit_j(token) = ascii(md5(token)[j]) % 2 (portable across engines);
+    fingerprint bit j is 1 iff sum over tokens of (2*bit_j - 1) >= 0.
+    """
+    tok = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        F.md5("tok").alias("h"),
+    ).withColumn(
+        "contrib",
+        (F.ascii(F.substring(F.col("h"), F.col("j") + 1, 1)) % 2) * 2 - 1,
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") >= 0, 1).otherwise(0))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("bit") * F.pow(F.lit(2), F.col("j")).cast("long")).alias("simhash")
+        )
+    )
+
+
+SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), bits AS (
+  SELECT doc_id, j,
+         CASE WHEN sum((ascii(substr(md5(tok), j + 1, 1)) % 2) * 2 - 1) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM tok, range(0, {SIMHASH_BITS}) AS r(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id, CAST(sum(bit * (2 ** j)) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def simhash_dup_groups(documents: DataFrame) -> DataFrame:
+    """Fingerprint buckets with more than one doc (near-dup groups)."""
+    return (
+        simhash(documents)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SIMHASH_GROUPS_ORACLE = (
+    "WITH s AS (" + SIMHASH_ORACLE + ") "
+    "SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc "
+    "FROM s GROUP BY simhash HAVING count(*) > 1"
+)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard within a blocking key
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, n: int = 2
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for same-`source` doc pairs with token-
+    bigram Jaccard >= threshold.  Blocking by `source` keeps the join
+    quadratic only within groups (the scale-path contract)."""
+    grams = documents.select(
+        "doc_id", "source", F.explode(_shingles(n)).alias("g")
+    ).dropDuplicates(["doc_id", "g"])
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.select("source", F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select("source", F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, ["source", "g"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle(threshold: float = 0.5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), positions AS (
+  SELECT doc_id, source, t, generate_subscripts(t, 1) AS i FROM toks
+), grams AS (
+  SELECT DISTINCT doc_id, source,
+         t[i] || CASE WHEN i < len(t) THEN ' ' || t[i+1] ELSE '' END AS g
+  FROM positions
+  WHERE i <= greatest(len(t) - 1, 1)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM grams a JOIN grams b ON a.source = b.source AND a.g = b.g
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 4) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (normalised-content hash)
+# ---------------------------------------------------------------------------
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): md5 of lowercased, whitespace-collapsed text —
+    the P11 content-hash generalised to normalised form."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return documents.select(
+        "doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint")
+    )
+
+
+FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+         AS fingerprint
+FROM documents
+"""

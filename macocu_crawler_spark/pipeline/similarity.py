@@ -1,0 +1,178 @@
+"""Embedding similarity: near-dup filtering and ANN top-k search.
+
+Over the `embeddings` table (vec_id, embedding: array<float/double>, label).
+
+- cosine is computed JVM-side with F.zip_with + F.aggregate (no Python);
+  scores are rounded to 4 decimals BEFORE any comparison so the Spark and
+  DuckDB (list_cosine_similarity) results agree bit-for-bit
+- brute-force top-k is the correctness baseline; `ann_lsh_topk` is the
+  scale path: sign-random-projection buckets (deterministic, md5-seeded)
+  shrink the candidate set so the cross join is per-bucket, not global
+
+Scale notes: brute force is O(Q·N) — fine for Q small or as a per-bucket
+kernel. At 10^9 vectors: bucket by LSH signature (shuffle on bucket key),
+search within bucket ± multiprobe; this is the IVF-style layout, expressed
+as a bucket-key join, so Catalyst handles it like any other equi-join
+(AQE-skew-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cos(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(F.col(a), F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col(b), F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+    return dot / (na * nb)
+
+
+def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """(vec_a, vec_b, cos) for same-label pairs above the threshold —
+    embedding-cosine near-dup, blocked by `label` (the scale contract:
+    never all-pairs)."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "label"
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "label"
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(_cos("ea", "eb"), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def cosine_pairs_oracle(threshold: float = 0.9) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.label = b.label
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {threshold}
+"""
+
+
+def ann_bruteforce_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbours for the first `n_queries` vectors.
+
+    (query_id, neighbor_id, cos, rank); ties broken by neighbor_id so the
+    result is total-ordered (cross-engine determinism)."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(_cos("eq", "ec"), 4))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ann_bruteforce_oracle(n_queries: int = 10, k: int = 5) -> str:
+    return f"""
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {n_queries}
+) WHERE rank <= {k}
+"""
+
+
+def lsh_bucket_col(emb: str = "embedding", n_planes: int = 4):
+    """Deterministic sign-random-projection bucket: plane p's normal is
+    derived from md5(p || ':' || dim) in {-1, +1} — no RNG, reproducible
+    across engines/runs."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(emb),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col(emb)) - 1),
+                    lambda i: (
+                        F.ascii(
+                            F.substring(
+                                F.md5(F.concat_ws(":", F.lit(p), i.cast("string"))), 1, 1
+                            )
+                        )
+                        % 2
+                    )
+                    * 2
+                    - 1,
+                ),
+                lambda x, s: x * s.cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = 3
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    plus all Hamming-distance-1 buckets (multiprobe — near neighbours that
+    straddle one hyperplane are still found).
+
+    The scale path for 10^9 vectors: per-bucket joins instead of a global
+    cross join; multiprobe multiplies query rows (cheap side), never
+    candidate rows.  Recall is tested against ann_bruteforce_topk."""
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(n_planes=n_planes))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    )
+    q = (
+        bucketed.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("eq"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"), "bucket"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(_cos("eq", "ec"), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,87 @@
+"""Replicates the driver's correctness gate: every queries()[name] with an
+oracle must match DuckDB on row count, column names and values (floats
+pre-rounded in-query on both sides)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as em
+
+    return em
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object or "datetime" in str(df[c].dtype):
+            df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "i":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_entry_smoke(spark, entrymod):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert {"lang", "n_docs", "n_unique"} <= set(df.columns)
+
+
+def test_every_query_runs_and_oracles_cover(entrymod):
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert len(qs) >= 25
+    assert set(os_) <= set(qs)
+    # every oracle-less query is documented as rows-only (non-SQL ops)
+    rows_only = set(qs) - set(os_)
+    assert rows_only <= {
+        "langid_trigram", "ann_lsh_topk", "crawl_rounds", "crawl_extract",
+        "robots_filter", "multimodal_features",
+    }
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_pricing_summary", "q_top_revenue_orders", "q_topk_per_key",
+        "q_politeness_pick", "q_yield_rule", "q_seen_antijoin", "q_semijoin",
+        "q_distance_min", "q_broadcast_star", "q_host_queue_counts",
+        "q_union_dedup", "q_running_min", "q_doc_len_buckets", "q_date_format",
+        "q_regexp_filter", "q_events_tumbling", "q_url_admission",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_simhash_groups", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "ann_bruteforce_topk", "text_token_stats", "text_quality_scores",
+        "doc_fingerprints",
+    ],
+)
+def test_query_matches_oracle(spark, entrymod, duck, name):
+    sdf = _norm(entrymod.queries()[name](spark, SF_DIR).toPandas())
+    odf = _norm(duck.execute(entrymod.oracle_sql()[name]).df())
+    assert list(sdf.columns) == list(odf.columns)
+    assert len(sdf) == len(odf)
+    pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+
+
+def test_rows_only_queries_return_rows(spark, entrymod):
+    for name in ("langid_trigram", "ann_lsh_topk", "multimodal_features"):
+        assert entrymod.queries()[name](spark, SF_DIR).count() > 0
