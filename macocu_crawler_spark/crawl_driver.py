@@ -167,6 +167,7 @@ class CrawlDriver:
         self.doc_parts: list[pd.DataFrame] = []
         self.fetch_parts: list[pd.DataFrame] = []
         self.dup_parts: list[pd.DataFrame] = []
+        self.ignored_parts: list[pd.DataFrame] = []
         self.metrics: list[dict] = []
 
     # -- helpers -----------------------------------------------------------------
@@ -302,6 +303,20 @@ class CrawlDriver:
                 F.col("link.path").alias("path"),
             )
         )
+        # ignored-URL sink (S7): per-row reason strings, reference-identical
+        self.ignored_parts.append(
+            docs.filter(F.size("ignored_links") > 0)
+            .select(
+                F.col("scheme").alias("src_scheme"),
+                F.col("host").alias("src_host"),
+                F.explode("ignored_links").alias("ig"),
+            )
+            .select(
+                "src_scheme", "src_host",
+                F.col("ig.reason").alias("reason"), F.col("ig.url").alias("url"),
+            )
+            .toPandas()
+        )
         redir_links = (
             redirect_hits.select(
                 F.col("scheme").alias("src_scheme"),
@@ -330,6 +345,13 @@ class CrawlDriver:
         new_rows, new_seen, domains2 = admit_links(
             links, domains, self.url_seen, self.dns, round_no=r, params=self.params
         )
+        # F13 dead-host purge: drop queued rows of bad domains (GC — they are
+        # never selected; purging bounds frontier growth at scale)
+        frontier = frontier.join(
+            domains.filter(F.col("bad")).select("scheme", "host"),
+            ["scheme", "host"],
+            "left_anti",
+        )
         self.frontier = self._pin(frontier.unionByName(new_rows))
         self.url_seen = self._pin(self.url_seen.unionByName(new_seen))
         self.domains = self._pin(domains2)
@@ -357,6 +379,13 @@ class CrawlDriver:
         return self._from_parts(self.dup_parts, "wpage_id long")
 
     @property
+    def ignored(self) -> DataFrame:
+        return self._from_parts(
+            self.ignored_parts,
+            "src_scheme string, src_host string, reason string, url string",
+        )
+
+    @property
     def documents(self) -> DataFrame:
         schema = T.StructType(
             [f for f in schemas.EXTRACTED.fields if f.name in DOC_COLUMNS]
@@ -376,7 +405,7 @@ class CrawlDriver:
                 name, getattr(self, name), version=self.round_no,
                 metrics={"round": self.round_no},
             )
-        for name in ("documents", "fetch_log", "duplicates"):
+        for name in ("documents", "fetch_log", "duplicates", "ignored"):
             self.catalog.write(
                 name, getattr(self, name), version=self.round_no,
                 metrics={"round": self.round_no},
@@ -401,6 +430,10 @@ class CrawlDriver:
         self.doc_parts = [self.catalog.read(self.spark, "documents").toPandas()]
         self.fetch_parts = [self.catalog.read(self.spark, "fetch_log").toPandas()]
         self.dup_parts = [self.catalog.read(self.spark, "duplicates").toPandas()]
+        try:
+            self.ignored_parts = [self.catalog.read(self.spark, "ignored").toPandas()]
+        except FileNotFoundError:
+            self.ignored_parts = []
 
     def run(self, max_rounds: int | None = None) -> None:
         if self.domains is None:

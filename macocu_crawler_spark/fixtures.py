@@ -369,10 +369,52 @@ def compute_oracle_columns(web: FixtureWeb) -> None:
         p["lang"] = row["lang"]
 
 
-def write_fixtures(out_dir: str, scale: int = 1, seed: int = 42) -> FixtureWeb:
-    """Build + persist the fixture tables as parquet (pages per input_hint)."""
-    web = build_web(scale=scale, seed=seed)
-    compute_oracle_columns(web)
+def build_bench_web(
+    n_hosts: int = 500, pages_per_host: int = 20, seed: int = 42
+) -> FixtureWeb:
+    """Wide synthetic web for throughput benches: n_hosts Norwegian hosts,
+    pages_per_host pages each, chain + cross links, shared robots/dns.
+
+    Politeness (1 URL/host/round) makes narrow webs scheduler-bound; bench
+    webs are wide so every round fetches ~n_hosts pages and the extract
+    pipeline dominates — the shape a 10^10-URL frontier actually has.
+    No oracle columns (text/lang empty): the bench measures the engine
+    recomputing them.
+    """
+    rng = random.Random(seed)
+    web = FixtureWeb()
+    hosts = [f"host{i:05d}.no" for i in range(n_hosts)]
+    # seed every host's first page directly: the bench measures steady-state
+    # wide-frontier rounds, not the fan-out warm-up
+    web.seeds = [f"http://{h}/side1.html" for h in hosts]
+    for hi, host in enumerate(hosts):
+        for p in range(1, pages_per_host + 1):
+            links = []
+            if p < pages_per_host:
+                links.append((f"side{p + 1}.html", "neste side i serien"))
+            if p == 1 and hi + 1 < n_hosts:
+                links.append((f"http://{hosts[hi + 1]}/side1.html", "naboside"))
+            _add_page(
+                web, f"http://{host}/side{p}.html",
+                render_page(rng, f"{host} side {p}",
+                            _paragraphs(rng, NO_SENTENCES, 3), links,
+                            nav_links=["/", "/arkiv.html"]),
+                HDR,
+            )
+        web.robots.append({"scheme": "http", "host": host, "state": "EMPTY", "body": ""})
+        web.dns.append(
+            {"scheme": "http", "host": host, "ip": f"10.2.{hi // 250}.{hi % 250}"}
+        )
+    for idx, p in enumerate(web.pages):
+        p["warc_ts"] = BASE_TS + dt.timedelta(seconds=idx)
+        p["ip"] = "10.9.9.9"
+        p["text"] = ""
+        p["lang"] = ""
+    return web
+
+
+def write_web(out_dir: str, web: FixtureWeb) -> FixtureWeb:
+    """Persist a pre-built FixtureWeb (pages may lack oracle columns)."""
     os.makedirs(out_dir, exist_ok=True)
     pages = pa.table(
         {
@@ -380,8 +422,8 @@ def write_fixtures(out_dir: str, scale: int = 1, seed: int = 42) -> FixtureWeb:
             "warc_ts": pa.array([p["warc_ts"] for p in web.pages],
                                 type=pa.timestamp("us")),
             "html": pa.array([p["html"] for p in web.pages], type=pa.binary()),
-            "text": [p["text"] for p in web.pages],
-            "lang": [p["lang"] for p in web.pages],
+            "text": [p.get("text", "") for p in web.pages],
+            "lang": [p.get("lang", "") for p in web.pages],
             "ip": [p["ip"] for p in web.pages],
             "http_header": pa.array([p["http_header"] for p in web.pages],
                                     type=pa.binary()),
@@ -400,3 +442,10 @@ def write_fixtures(out_dir: str, scale: int = 1, seed: int = 42) -> FixtureWeb:
     with open(os.path.join(out_dir, "seeds.txt"), "w") as f:
         f.write("\n".join(web.seeds) + "\n")
     return web
+
+
+def write_fixtures(out_dir: str, scale: int = 1, seed: int = 42) -> FixtureWeb:
+    """Build + persist the fixture tables as parquet (pages per input_hint)."""
+    web = build_web(scale=scale, seed=seed)
+    compute_oracle_columns(web)
+    return write_web(out_dir, web)

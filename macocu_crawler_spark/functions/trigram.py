@@ -17,6 +17,7 @@ dicts) — same vector, same cosine.
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 _SPACE_RE = re.compile(r"\s+")
 
@@ -31,17 +32,30 @@ class TrigramModel:
             self.add_lines([text])
 
     def add_lines(self, lines) -> "TrigramModel":
-        counts = self.counts
-        context = "  "
+        """Count every 3-char window of the normalised stream.
+
+        Equivalent to the reference's per-char context walk (trigrams.py:
+        43-55): each non-blank line contributes ``line.strip() + ' '`` to a
+        stream prefixed with two spaces; the trigrams are exactly the
+        sliding windows of that stream.  Implemented as one C-level
+        zip/Counter pass — same counts, ~5× less interpreter work (this is
+        the hottest loop of the whole page pipeline).
+        """
+        parts = []
         for line in lines:
-            line = _SPACE_RE.sub(" ", line)
-            if not line.strip():
-                continue
-            for ch in line.strip() + " ":
-                tri = context + ch
-                counts[tri] = counts.get(tri, 0) + 1
-                context = context[1] + ch
-        self.norm = sum(c * c for c in counts.values()) ** 0.5
+            line = _SPACE_RE.sub(" ", line).strip()
+            if line:
+                parts.append(line + " ")
+        stream = "  " + "".join(parts)
+        if len(stream) > 2:
+            windows = Counter(map("".join, zip(stream, stream[1:], stream[2:])))
+            counts = self.counts
+            if counts:
+                for tri, n in windows.items():
+                    counts[tri] = counts.get(tri, 0) + n
+            else:
+                counts.update(windows)
+        self.norm = sum(c * c for c in self.counts.values()) ** 0.5
         return self
 
     def similarity(self, other: "TrigramModel") -> float:
@@ -50,9 +64,10 @@ class TrigramModel:
         a, b = self.counts, other.counts
         if len(b) < len(a):
             a, b = b, a
+        bget = b.get
         dot = 0
         for tri, ca in a.items():
-            cb = b.get(tri)
+            cb = bget(tri)
             if cb:
                 dot += ca * cb
         return dot / (self.norm * other.norm)

@@ -119,13 +119,22 @@ def admit_links(
         .unionByName(new_domains)
     )
 
-    # 4. URL-seen gate on sanitised path (first-wins within batch)
+    # 4. URL-seen gate on sanitised path (first-wins within batch).
+    # With use_bloom_prefilter the membership test routes through the
+    # partitioned Bloom (operators/urlseen.py): definitely-new candidates
+    # skip the exact join; the exact anti-join stays authoritative — tested
+    # equivalent to the plain anti-join.
     cand = (
         links.select("scheme", "host", "path", "seq")
         .unionByName(root_rows.select("scheme", "host", "path", "seq"))
         .withColumn("path_sanitised", sanitise(F.col("path")))
     )
-    cand = cand.join(url_seen, ["scheme", "host", "path_sanitised"], "left_anti")
+    if getattr(params, "use_bloom_prefilter", False):
+        from .urlseen import filter_new_candidates
+
+        cand = filter_new_candidates(cand, url_seen)
+    else:
+        cand = cand.join(url_seen, ["scheme", "host", "path_sanitised"], "left_anti")
     seen_w = Window.partitionBy("scheme", "host", "path_sanitised").orderBy("seq")
     cand = cand.withColumn("seen_rn", F.row_number().over(seen_w)).filter(
         F.col("seen_rn") == 1

@@ -53,6 +53,9 @@ class CrawlParams:
     hostname_len_ranges: tuple = tuple(config.DOM_SCHED_HOSTNAME_LEN_RANGES)
     distance_ranges: tuple = tuple(config.DOM_SCHED_DOM_DISTANCE_RANGES)
     agent: str = config.AGENT
+    # Spark-side knob (ignored by the simulator — semantics are identical):
+    # route URL-seen membership through the partitioned Bloom pre-filter
+    use_bloom_prefilter: bool = False
 
     def yield_threshold(self, doc_count: int) -> float:
         return self.yield_coeff * (log10(doc_count) - 1)

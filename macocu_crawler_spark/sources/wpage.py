@@ -1,0 +1,154 @@
+"""wpage + ARC file formats — the reference's raw-response archives.
+
+wpage record (crawl.py:575-578 write, process.py:530-537 read):
+    UTF-8 header line: "wpage_id url scheme host path ip connect_time
+    header_len body_len\\n", followed by header_len raw HTTP-header bytes
+    and body_len raw body bytes.  Files may be gzipped.
+
+ARC record (process.py:558-569):
+    "url ip time text/html header_len body_len wpage_id\\n" + header bytes
+    + body bytes; gzip-appended, 100 GB rotation.
+
+Readers use Spark's binaryFile source + mapInPandas: one task per archive
+file (archives are the unit of parallelism, as in any WARC pipeline), rows
+come out in the input_hint pages shape, so `reprocess` is literally
+``read_wpage(...)`` → ``extract_documents`` (reference reprocess.py:49-286).
+Writers produce one archive per partition (the Iceberg pages table is the
+primary store — ARC/wpage export is an interchange path).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import io
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("wpage_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("http_header", T.BinaryType()),
+        T.StructField("ip", T.StringType()),
+    ]
+)
+
+
+def _parse_ts(connect_time: str) -> dt.datetime:
+    return dt.datetime.strptime(connect_time, "%Y%m%d%H%M%S")
+
+
+def parse_wpage_bytes(blob: bytes) -> list[tuple]:
+    """Parse one wpage file's bytes into page tuples (process.py:528-537)."""
+    rows = []
+    stream = io.BytesIO(blob)
+    while True:
+        header_line = stream.readline()
+        if not header_line:
+            break
+        wpage_id, url, _scheme, _host, _path, ip, connect_time, header_len, body_len = (
+            header_line.decode("utf-8").split(" ")
+        )
+        header_len, body_len = int(header_len), int(body_len)
+        http_header = stream.read(header_len)
+        body = stream.read(body_len)
+        rows.append(
+            (int(wpage_id), url, _parse_ts(connect_time), body, http_header, ip)
+        )
+    return rows
+
+
+def parse_arc_bytes(blob: bytes) -> list[tuple]:
+    """Parse one (decompressed) ARC file's bytes (process.py:558-565)."""
+    rows = []
+    stream = io.BytesIO(blob)
+    while True:
+        header_line = stream.readline()
+        if not header_line:
+            break
+        url, ip, connect_time, _mime, header_len, body_len, wpage_id = (
+            header_line.decode("utf-8").split(" ")
+        )
+        header_len, body_len = int(header_len), int(body_len)
+        http_header = stream.read(header_len)
+        body = stream.read(body_len)
+        rows.append(
+            (int(wpage_id), url, _parse_ts(connect_time), body, http_header, ip)
+        )
+    return rows
+
+
+def _reader(parse, paths_are_gzip: bool):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PAGES_OUT_SCHEMA.fields]
+        for batch in batches:
+            rows = []
+            for r in batch.itertuples(index=False):
+                blob = bytes(r.content)
+                if paths_are_gzip or r.path.endswith(".gz"):
+                    blob = gzip.decompress(blob)
+                rows.extend(parse(blob))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return run
+
+
+def read_wpage(spark: SparkSession, path_glob: str) -> DataFrame:
+    """wpage files → pages DataFrame (S4)."""
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return files.mapInPandas(_reader(parse_wpage_bytes, False), PAGES_OUT_SCHEMA)
+
+
+def read_arc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """ARC archives → pages DataFrame (reprocess input, S14)."""
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return files.mapInPandas(_reader(parse_arc_bytes, False), PAGES_OUT_SCHEMA)
+
+
+def write_arc(pages: DataFrame, out_dir: str) -> int:
+    """pages DataFrame → one gzip ARC file per partition (S5).
+
+    Returns the number of records written.  Record framing matches
+    process.py:558-565 byte-for-byte so the reference's tooling can read
+    the output.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    prepared = pages.select(
+        "wpage_id", "url", "ip",
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("connect_time"),
+        "http_header", "html",
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        count = 0
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=9) as gz:
+            for batch in batches:
+                for r in batch.itertuples(index=False):
+                    header = bytes(r.http_header) if r.http_header is not None else b""
+                    body = bytes(r.html) if r.html is not None else b""
+                    arc_header = (
+                        f"{r.url} {r.ip} {r.connect_time} text/html "
+                        f"{len(header)} {len(body)} {r.wpage_id}\n"
+                    ).encode("utf-8")
+                    gz.write(arc_header)
+                    gz.write(header)
+                    gz.write(body)
+                    count += 1
+        if count:
+            pid = os.getpid()
+            path = os.path.join(out_dir, f"part-{pid}-{count}.arc.gz")
+            with open(path, "wb") as f:
+                f.write(buf.getvalue())
+        yield pd.DataFrame({"n": [count]})
+
+    counts = prepared.mapInPandas(write_partition, "n long")
+    return int(counts.agg(F.sum("n")).first()[0] or 0)

@@ -101,6 +101,33 @@ def test_determinism_across_partitioning(spark, fixture_dir, sim_result):
     assert logs[0] == sim_prefix
 
 
+def test_ignored_urls_match_simulator(sim_result, driver_result):
+    """S7 ignored-URL sink: per-row reason strings identical (reasons from
+    links of processed pages; redirect-reject reasons are logged by the sim
+    only for redirect fetches, compared separately)."""
+    sim_ignored = {
+        (s, h, reason, url) for s, h, reason, url in sim_result.ignored if s
+    }
+    spark_ignored = {
+        (r.src_scheme, r.src_host, r.reason, r.url)
+        for r in driver_result.ignored.collect()
+    }
+    assert spark_ignored == sim_ignored
+    assert len(spark_ignored) > 0
+
+
+def test_bloom_prefilter_driver_equivalence(spark, fixture_dir, sim_result):
+    """use_bloom_prefilter must not change any decision (Bloom is a
+    pre-filter; the exact anti-join stays authoritative)."""
+    drv = CrawlDriver(
+        spark, fixture_dir, tempfile.mkdtemp(),
+        CrawlParams(max_rounds=6, use_bloom_prefilter=True), checkpoint_every=0,
+    )
+    drv.run()
+    sim_prefix = [(r, s + 1, u) for r, s, u in sim_result.fetch_log if r <= 6]
+    assert _fetch_log(drv) == sim_prefix
+
+
 def test_resume_equals_uninterrupted(spark, fixture_dir, sim_result, driver_result):
     """Kill after round 5, resume from the committed snapshot, continue to
     ROUNDS — results equal the uninterrupted run (SURVEY §3.3)."""

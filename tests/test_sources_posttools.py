@@ -1,0 +1,110 @@
+"""wpage/ARC round-trip (S4/S5), reprocess path (S14), post-tools."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pages(spark, fixture_dir):
+    return (
+        spark.read.parquet(f"{fixture_dir}/pages.parquet")
+        .withColumn("wpage_id", F.monotonically_increasing_id())
+        .cache()
+    )
+
+
+class TestArcRoundTrip:
+    def test_write_read_arc(self, spark, pages, tmp_path):
+        from macocu_crawler_spark.sources.wpage import read_arc, write_arc
+
+        out = str(tmp_path / "arc")
+        n = write_arc(pages, out)
+        assert n == pages.count()
+        back = read_arc(spark, f"{out}/*.arc.gz")
+        orig = {r.url: (bytes(r.html), bytes(r.http_header))
+                for r in pages.select("url", "html", "http_header").collect()}
+        got = {r.url: (bytes(r.html), bytes(r.http_header))
+               for r in back.select("url", "html", "http_header").collect()}
+        assert got == orig  # byte-identical round trip
+
+    def test_reprocess_from_arc_equals_direct(self, spark, pages, tmp_path):
+        """S14: ARC → pipeline == pages → pipeline (the reference's
+        reprocess regression harness)."""
+        from macocu_crawler_spark.operators.extract import extract_documents
+        from macocu_crawler_spark.sources.wpage import read_arc, write_arc
+
+        out = str(tmp_path / "arc2")
+        write_arc(pages, out)
+        from_arc = extract_documents(read_arc(spark, f"{out}/*.arc.gz"))
+        direct = extract_documents(pages)
+        a = {r.url: r.text for r in from_arc.select("url", "text").collect()}
+        b = {r.url: r.text for r in direct.select("url", "text").collect()}
+        assert a == b
+
+
+class TestWpageFormat:
+    def test_parse_reference_framing(self, spark, tmp_path):
+        from macocu_crawler_spark.sources.wpage import read_wpage
+
+        header = b"HTTP/1.1 200 OK\r\n\r\n"
+        body = "<html><body><p>hei p\xe5 deg</p></body></html>".encode("utf-8")
+        record = (
+            f"7 http://x.no/a.html http x.no /a.html 1.2.3.4 20230815100000 "
+            f"{len(header)} {len(body)}\n"
+        ).encode("utf-8") + header + body
+        path = tmp_path / "wpage0"
+        path.write_bytes(record * 3)
+        df = read_wpage(spark, str(path))
+        rows = df.collect()
+        assert len(rows) == 3
+        assert rows[0].url == "http://x.no/a.html"
+        assert bytes(rows[0].html) == body
+        assert rows[0].ip == "1.2.3.4"
+
+
+class TestPostTools:
+    def test_remove_duplicates(self, spark):
+        from macocu_crawler_spark.operators.posttools import remove_duplicates
+
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "wpage_id long, text string"
+        )
+        dups = spark.createDataFrame([(3,)], "wpage_id long")
+        assert {r.wpage_id for r in remove_duplicates(docs, dups).collect()} == {1, 2}
+
+    def test_paragraph_class_filter(self, spark):
+        from macocu_crawler_spark.operators.posttools import paragraph_class_filter
+
+        prevert = (
+            '<doc id="1" title="t">\n'
+            '<p class="good" cfclass="good" langdiff="0.10">\nbra tekst\n</p>\n'
+            '<p class="bad" cfclass="short" langdiff="0.20">\nnav\n</p>\n'
+            "\n</doc>\n"
+        )
+        only_bad = '<doc id="2" title="t">\n<p class="bad" cfclass="bad" langdiff="0.9">\nx\n</p>\n</doc>\n'
+        docs = spark.createDataFrame(
+            [(1, prevert), (2, only_bad)], "wpage_id long, prevert string"
+        )
+        out = paragraph_class_filter(docs, ("good",)).collect()
+        assert len(out) == 1
+        assert 'class="good"' in out[0].prevert
+        assert 'class="bad"' not in out[0].prevert
+
+    def test_urls_waiting_reformat(self, spark):
+        from macocu_crawler_spark.operators.posttools import urls_waiting_reformat
+
+        rows = [("http", "ok.no", f"/p{i:03d}.html", f"/p{i:03d}.html", 0, i)
+                for i in range(10)]
+        rows.append(("http", "x" * 60 + ".no", "/a", "/a", 0, 99))
+        frontier = spark.createDataFrame(
+            rows,
+            "scheme string, host string, path string, path_sanitised string,"
+            " batch_id long, seq long",
+        )
+        out = urls_waiting_reformat(frontier, max_paths_per_host=4)
+        got = out.collect()
+        assert len(got) == 4
+        assert all(r.host == "ok.no" for r in got)
+        assert sorted(r.seq for r in got) == [0, 1, 2, 3]  # selection order kept

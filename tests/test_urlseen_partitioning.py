@@ -1,0 +1,108 @@
+"""Bloom pre-filter correctness (must equal the plain anti-join) and
+hot-host salting skew reduction."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def seen(spark):
+    rows = [
+        ("http", f"host{i % 20}.no", f"/seen{i}.html") for i in range(2000)
+    ]
+    return spark.createDataFrame(
+        rows, "scheme string, host string, path_sanitised string"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def candidates(spark):
+    # half overlap with seen, half new
+    rows = [("http", f"host{i % 20}.no", f"/seen{i}.html") for i in range(0, 2000, 2)]
+    rows += [("http", f"host{i % 20}.no", f"/new{i}.html") for i in range(1500)]
+    return spark.createDataFrame(
+        rows, "scheme string, host string, path_sanitised string"
+    ).cache()
+
+
+class TestBloomPrefilter:
+    def test_equals_plain_antijoin(self, spark, seen, candidates):
+        from macocu_crawler_spark.operators.urlseen import filter_new_candidates
+
+        plain = candidates.join(
+            seen, ["scheme", "host", "path_sanitised"], "left_anti"
+        )
+        bloomed = filter_new_candidates(candidates, seen)
+        a = {tuple(r) for r in plain.collect()}
+        b = {tuple(r) for r in bloomed.collect()}
+        assert a == b
+        assert len(b) == 1500  # exactly the new candidates
+
+    def test_bloom_rejects_most_new_urls(self, spark, seen, candidates):
+        """The pre-filter's value: definitely-new candidates skip the exact
+        join.  With 12 bits/key + 4 hashes the FP rate is well under 5%."""
+        from macocu_crawler_spark.operators.urlseen import (
+            _might_contain_udf,
+            _seen_key,
+            build_blooms,
+        )
+
+        blooms = build_blooms(seen)
+        new_only = candidates.filter(F.col("path_sanitised").startswith("/new"))
+        cand = new_only.withColumn(
+            "_bucket", F.pmod(F.xxhash64("host"), F.lit(32)).cast("int")
+        ).withColumn(
+            "_key", _seen_key(F.col("scheme"), F.col("host"), F.col("path_sanitised"))
+        )
+        flagged = cand.join(
+            F.broadcast(blooms.select(F.col("bucket").alias("_bucket"), "bits")),
+            "_bucket", "left",
+        ).withColumn("fp", _might_contain_udf()(F.col("bits"), F.col("_key")))
+        fp_rate = flagged.filter("fp").count() / flagged.count()
+        assert fp_rate < 0.05, f"false-positive rate {fp_rate:.3f}"
+
+    def test_empty_seen_set(self, spark, candidates):
+        from macocu_crawler_spark.operators.urlseen import filter_new_candidates
+
+        empty = spark.createDataFrame(
+            [], "scheme string, host string, path_sanitised string"
+        )
+        assert filter_new_candidates(candidates, empty).count() == candidates.count()
+
+
+class TestSalting:
+    def test_hot_host_spread_across_partitions(self, spark):
+        from macocu_crawler_spark.operators.partitioning import (
+            partition_sizes,
+            repartition_frontier,
+        )
+
+        rows = [("http", "hot.no", f"/p{i}.html", f"/p{i}.html", 0, i)
+                for i in range(5000)]
+        rows += [("http", f"cold{i}.no", "/", "/", 0, i) for i in range(100)]
+        frontier = spark.createDataFrame(
+            rows,
+            "scheme string, host string, path string, path_sanitised string,"
+            " batch_id long, seq long",
+        )
+        unsalted = frontier.repartition(8, F.col("host"))
+        salted = repartition_frontier(frontier, n_partitions=8, threshold=500)
+        max_unsalted = max(partition_sizes(unsalted))
+        max_salted = max(partition_sizes(salted))
+        assert max_unsalted >= 5000          # hot host on one partition
+        assert max_salted < max_unsalted / 2  # spread by salting
+
+    def test_cold_hosts_untouched(self, spark):
+        from macocu_crawler_spark.operators.partitioning import (
+            host_salt_factors,
+            with_salted_key,
+        )
+
+        frontier = spark.createDataFrame(
+            [("http", "cold.no", "/a", "/a", 0, 1)],
+            "scheme string, host string, path string, path_sanitised string,"
+            " batch_id long, seq long",
+        )
+        factors = host_salt_factors(frontier, threshold=100)
+        out = with_salted_key(frontier, factors).collect()
+        assert out[0].host_salt == "cold.no"
