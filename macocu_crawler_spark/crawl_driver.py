@@ -251,15 +251,30 @@ class CrawlDriver:
             page_hits.select("wpage_id", "fetch_seq"), "wpage_id"
         )
         docs.persist()
-        docs_pdf = docs.select(*DOC_COLUMNS).toPandas()
+        # one collection job for documents + ignored links (S7)
+        docs_pdf = docs.select(*DOC_COLUMNS, "ignored_links").toPandas()
         n_processed = len(docs_pdf)
         self.wpage_base += n_processed
-        self.doc_parts.append(docs_pdf)
+        self.doc_parts.append(docs_pdf[DOC_COLUMNS])
+        ignored_rows = [
+            (row.scheme, row.host, ig["reason"], ig["url"])
+            for row in docs_pdf.itertuples(index=False)
+            for ig in (row.ignored_links if row.ignored_links is not None else [])
+        ]
+        if ignored_rows:
+            self.ignored_parts.append(
+                pd.DataFrame(
+                    ignored_rows,
+                    columns=["src_scheme", "src_host", "reason", "url"],
+                )
+            )
         # --- dedup ---
+        # append-only sets grow by pinned increments (lazy union keeps the
+        # per-round cost O(increment); the union tree is shallow and cheap)
         dup_ids, new_txt, new_raw = dedup_batch(docs, self.seen_txt, self.seen_raw)
         self.dup_parts.append(dup_ids.toPandas())
-        self.seen_txt = self._pin(self.seen_txt.unionByName(new_txt))
-        self.seen_raw = self._pin(self.seen_raw.unionByName(new_raw))
+        self.seen_txt = self.seen_txt.unionByName(self._pin(new_txt))
+        self.seen_raw = self.seen_raw.unionByName(self._pin(new_raw))
         # --- counters + robots arrivals ---
         domains = merge_counters(domains, docs)
         robots_fetched = selected.filter(F.col("is_robot")).select("scheme", "host")
@@ -303,20 +318,6 @@ class CrawlDriver:
                 F.col("link.path").alias("path"),
             )
         )
-        # ignored-URL sink (S7): per-row reason strings, reference-identical
-        self.ignored_parts.append(
-            docs.filter(F.size("ignored_links") > 0)
-            .select(
-                F.col("scheme").alias("src_scheme"),
-                F.col("host").alias("src_host"),
-                F.explode("ignored_links").alias("ig"),
-            )
-            .select(
-                "src_scheme", "src_host",
-                F.col("ig.reason").alias("reason"), F.col("ig.url").alias("url"),
-            )
-            .toPandas()
-        )
         redir_links = (
             redirect_hits.select(
                 F.col("scheme").alias("src_scheme"),
@@ -353,7 +354,7 @@ class CrawlDriver:
             "left_anti",
         )
         self.frontier = self._pin(frontier.unionByName(new_rows))
-        self.url_seen = self._pin(self.url_seen.unionByName(new_seen))
+        self.url_seen = self.url_seen.unionByName(self._pin(new_seen))
         self.domains = self._pin(domains2)
         docs.unpersist()
         selected.unpersist()
