@@ -215,17 +215,17 @@ class CrawlDriver:
         domains = apply_yield_rule(self.domains, self.params)
         selected = select_urls(self.frontier, domains, self.params)
         selected.persist()
-        n_selected = selected.count()
+        # collecting the (round, fetch_seq, url) log doubles as the count
+        fetch_pdf = selected.select(
+            F.lit(r).cast("long").alias("round"), F.col("fetch_seq"), "url"
+        ).toPandas()
+        n_selected = len(fetch_pdf)
         if n_selected == 0:
             selected.unpersist()
             self.domains = self._pin(domains)
             self.metrics.append({"round": r, "selected": 0, "processed": 0})
             return 0
-        self.fetch_parts.append(
-            selected.select(
-                F.lit(r).cast("long").alias("round"), F.col("fetch_seq"), "url"
-            ).toPandas()
-        )
+        self.fetch_parts.append(fetch_pdf)
         # --- mock fetch (U11): join selected vs fixture web ---
         page_sel = selected.filter(~F.col("is_robot"))
         redirect_hits = page_sel.join(

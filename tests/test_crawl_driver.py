@@ -128,6 +128,22 @@ def test_bloom_prefilter_driver_equivalence(spark, fixture_dir, sim_result):
     assert _fetch_log(drv) == sim_prefix
 
 
+@pytest.mark.parametrize(
+    "params_kw",
+    [
+        {"ip_cap": 2},            # IP politeness binds (sameip1-3.no share an IP)
+        {"max_url_select": 5},    # O4 global ordered limit binds
+    ],
+)
+def test_capped_params_match_simulator(spark, fixture_dir, fixture_web, params_kw):
+    params = CrawlParams(max_rounds=6, **params_kw)
+    sim = CrawlSimulator(fixture_web, params).run()
+    drv = CrawlDriver(spark, fixture_dir, tempfile.mkdtemp(), params, checkpoint_every=0)
+    drv.run()
+    sim_log = [(r, s + 1, u) for r, s, u in sim.fetch_log]
+    assert _fetch_log(drv) == sim_log
+
+
 def test_resume_equals_uninterrupted(spark, fixture_dir, sim_result, driver_result):
     """Kill after round 5, resume from the committed snapshot, continue to
     ROUNDS — results equal the uninterrupted run (SURVEY §3.3)."""
