@@ -174,6 +174,71 @@ def _burn(n: int) -> int:
     return x
 
 
+def run_scheduler_microbench(n_urls: int = 2_000_000, n_hosts: int = 50_000) -> dict:
+    """Selection-query cost over a large synthetic frontier — the component
+    whose cost actually grows with frontier size (the extract pipeline is
+    per-fetched-page, but the scheduler scans/windows the whole queue).
+
+    Measures one full select_urls materialisation over n_urls pending rows
+    across n_hosts domains at local[CPUS]."""
+    import pyspark.sql.functions as F
+
+    from macocu_crawler_spark.operators.scheduler_round import select_urls
+    from macocu_crawler_spark.simulator import CrawlParams
+
+    spark = make_spark(CPUS)
+    try:
+        frontier = (
+            spark.range(n_urls)
+            .select(
+                F.lit("http").alias("scheme"),
+                F.concat(F.lit("host"), (F.col("id") % n_hosts)).alias("host"),
+                F.concat(F.lit("/p"), F.col("id"), F.lit(".html")).alias("path"),
+                F.concat(F.lit("/p"), F.col("id"), F.lit(".html")).alias("path_sanitised"),
+                (F.col("id") % 7).alias("batch_id"),
+                F.col("id").alias("seq"),
+            )
+            .repartition(CPUS * 3, "host")
+            .cache()
+        )
+        frontier.count()
+        domains = (
+            spark.range(n_hosts)
+            .select(
+                F.lit("http").alias("scheme"),
+                F.concat(F.lit("host"), F.col("id")).alias("host"),
+                F.concat(F.lit("10.0."), F.col("id") % 200, F.lit("."), F.col("id") % 250)
+                .alias("ip"),
+                F.lit(1).alias("distance"),
+                F.lit(False).alias("bad"),
+                F.lit("empty").alias("robot_state"),
+                F.lit(None).cast("string").alias("robot_body"),
+                *[F.lit(0).cast("long").alias(c) for c in (
+                    "count_downloaded", "count_cleaned",
+                    "bytes_downloaded", "bytes_cleaned")],
+            )
+            .cache()
+        )
+        domains.count()
+        params = CrawlParams()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n_sel = select_urls(frontier, domains, params).count()
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        log(f"scheduler: {n_urls} frontier rows -> {n_sel} selected in {best:.1f}s")
+        return {
+            "frontier_rows": n_urls,
+            "hosts": n_hosts,
+            "selected": n_sel,
+            "sec": round(best, 2),
+            "frontier_rows_per_sec": round(n_urls / best, 0),
+        }
+    finally:
+        spark.stop()
+
+
 def run_controls() -> dict:
     """Hardware-ceiling controls: the same 8→32-core comparison for (a) a
     pure-ALU Python workload and (b) a pure-JVM hash aggregation.  These
@@ -246,6 +311,7 @@ def main() -> None:
     pages_dir = bench_web_dir()
     scaling = run_scaling(pages_dir)
     crawl = run_crawl_rounds(pages_dir)
+    scheduler = run_scheduler_microbench()
     queries = run_queries()
     controls = run_controls()
     headline = scaling[CPUS]["urls_per_sec"]
@@ -264,6 +330,7 @@ def main() -> None:
         "scaling_efficiency_8_to_32": scaling["scaling_efficiency"],
         "hardware_ceiling_controls": controls,
         "crawl_rounds": crawl,
+        "scheduler_select": scheduler,
     }
     print(json.dumps(out))
 
