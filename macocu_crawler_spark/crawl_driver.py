@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from . import schemas
+from . import config, schemas
 from .functions import urlkit
 from .operators.admission import admit_links
 from .operators.dedup import dedup_batch
@@ -51,6 +51,7 @@ from .operators.domains import (
     apply_robots_arrivals,
     apply_yield_rule,
     merge_counters,
+    parse_robots_redirect_udf,
     robots_allowed_udf,
 )
 from .operators.extract import extract_documents
@@ -115,6 +116,18 @@ URL_SEEN_SCHEMA = T.StructType(
 SEEN_HASH_SCHEMA = T.StructType(
     [T.StructField("hash", T.LongType()), T.StructField("wpage_id", T.LongType())]
 )
+RR_SCHEMA = T.StructType(
+    [
+        T.StructField("src_scheme", T.StringType()),
+        T.StructField("src_host", T.StringType()),
+        T.StructField("scheme", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("ip", T.StringType()),
+        T.StructField("redir_count", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
 LINKS_SCHEMA = T.StructType(
     [
         T.StructField("src_scheme", T.StringType()),
@@ -163,6 +176,7 @@ class CrawlDriver:
         self.url_seen: DataFrame | None = None
         self.seen_txt: DataFrame | None = None
         self.seen_raw: DataFrame | None = None
+        self.robot_redirects: DataFrame | None = None
         # driver-side accumulated outputs (pandas parts; appended at commit)
         self.doc_parts: list[pd.DataFrame] = []
         self.fetch_parts: list[pd.DataFrame] = []
@@ -201,6 +215,7 @@ class CrawlDriver:
         self.url_seen = self._empty(URL_SEEN_SCHEMA)
         self.seen_txt = self._empty(SEEN_HASH_SCHEMA)
         self.seen_raw = self._empty(SEEN_HASH_SCHEMA)
+        self.robot_redirects = self._empty(RR_SCHEMA)
         new_rows, new_seen, domains2 = admit_links(
             links, self.domains, self.url_seen, self.dns, round_no=0, params=self.params
         )
@@ -213,7 +228,9 @@ class CrawlDriver:
         self.round_no += 1
         r = self.round_no
         domains = apply_yield_rule(self.domains, self.params)
-        selected = select_urls(self.frontier, domains, self.params)
+        selected = select_urls(
+            self.frontier, domains, self.params, robot_redirects=self.robot_redirects
+        )
         selected.persist()
         # collecting the (round, fetch_seq, url) log doubles as the count
         fetch_pdf = selected.select(
@@ -227,7 +244,7 @@ class CrawlDriver:
             return 0
         self.fetch_parts.append(fetch_pdf)
         # --- mock fetch (U11): join selected vs fixture web ---
-        page_sel = selected.filter(~F.col("is_robot"))
+        page_sel = selected.filter(~F.col("is_robot") & ~F.col("is_rr"))
         redirect_hits = page_sel.join(
             self.redirects.withColumnRenamed("url", "r_url"),
             page_sel.url == F.col("r_url"),
@@ -275,16 +292,107 @@ class CrawlDriver:
         self.dup_parts.append(dup_ids.toPandas())
         self.seen_txt = self.seen_txt.unionByName(self._pin(new_txt))
         self.seen_raw = self.seen_raw.unionByName(self._pin(new_raw))
-        # --- counters + robots arrivals ---
+        # --- counters + robots answers (own fetches and redirect-target
+        # fetches; the latter apply to their SOURCE domain) ---
         domains = merge_counters(domains, docs)
-        robots_fetched = selected.filter(F.col("is_robot")).select("scheme", "host")
-        domains = self._pin(apply_robots_arrivals(domains, robots_fetched, self.robots))
+        own_robot_fetches = selected.filter(F.col("is_robot") & ~F.col("is_rr"))
+        rr_fetches = selected.filter(F.col("is_rr"))
+        answers = (
+            own_robot_fetches.select(
+                "scheme", "host",
+                F.col("scheme").alias("dom_scheme"), F.col("host").alias("dom_host"),
+                "redir_count", F.lit(None).cast("long").alias("rr_seq"),
+            )
+            .unionByName(
+                rr_fetches.select(
+                    "scheme", "host",
+                    F.col("src_scheme").alias("dom_scheme"),
+                    F.col("src_host").alias("dom_host"),
+                    "redir_count", F.col("seq").alias("rr_seq"),
+                )
+            )
+            .join(self.robots, ["scheme", "host"], "left")
+            .withColumn("fetch_seq_order", F.coalesce("rr_seq", F.lit(0)))
+        )
+        # REDIR answers (crawl.py:394-420): follow up to MAX_ROBOT_REDIRECTS
+        is_redir = F.col("state") == "REDIR"
+        over_cap = is_redir & (F.col("redir_count") >= config.MAX_ROBOT_REDIRECTS)
+        follow = answers.filter(is_redir & ~over_cap).withColumn(
+            "tgt", parse_robots_redirect_udf(F.col("body"))
+        ).join(
+            F.broadcast(
+                self.dns.select(
+                    F.col("scheme").alias("t_scheme"), F.col("host").alias("t_host"),
+                    F.col("ip").alias("t_ip"),
+                )
+            ),
+            (F.col("tgt.scheme") == F.col("t_scheme"))
+            & (F.col("tgt.host") == F.col("t_host")),
+            "left",
+        ).withColumn(
+            "t_ip",
+            F.when(F.col("t_ip") == "NO_HOST", F.lit(None)).otherwise(F.col("t_ip")),
+        )
+        follow.persist()
+        rr_ok = follow.filter(F.col("tgt.scheme").isNotNull() & F.col("t_ip").isNotNull())
+        rr_w = Window.orderBy("fetch_seq_order", "dom_host", "dom_scheme")
+        new_rr = rr_ok.select(
+            F.col("dom_scheme").alias("src_scheme"),
+            F.col("dom_host").alias("src_host"),
+            F.col("tgt.scheme").alias("scheme"),
+            F.col("tgt.host").alias("host"),
+            F.col("tgt.path").alias("path"),
+            F.col("t_ip").alias("ip"),
+            (F.col("redir_count") + 1).cast("int").alias("redir_count"),
+            (F.lit(r * 1_000_000_000 + 600_000_000) + F.row_number().over(rr_w))
+            .alias("seq"),
+        )
+        rr_failed = follow.filter(
+            F.col("tgt.scheme").isNull() | F.col("t_ip").isNull()
+        ).select(
+            F.col("dom_scheme").alias("scheme"), F.col("dom_host").alias("host"),
+            F.lit("FAIL").alias("state"), F.lit(None).cast("string").alias("body"),
+        )
+        final_answers = (
+            answers.filter(~is_redir)
+            .select(
+                F.col("dom_scheme").alias("scheme"), F.col("dom_host").alias("host"),
+                "state", "body",
+            )
+            .unionByName(
+                answers.filter(over_cap).select(
+                    F.col("dom_scheme").alias("scheme"),
+                    F.col("dom_host").alias("host"),
+                    F.lit("FAIL").alias("state"),
+                    F.lit(None).cast("string").alias("body"),
+                )
+            )
+            .unionByName(rr_failed)
+            .unionByName(
+                rr_ok.select(
+                    F.col("dom_scheme").alias("scheme"),
+                    F.col("dom_host").alias("host"),
+                    F.lit("INIT").alias("state"),
+                    F.lit(None).cast("string").alias("body"),
+                )
+            )
+        )
+        domains = self._pin(apply_robots_arrivals(domains, final_answers))
+        # robot-redirect queue: drop fetched entries, add follow-ups
+        self.robot_redirects = self._pin(
+            self.robot_redirects.join(
+                rr_fetches.select(F.col("seq").alias("f_seq")),
+                self.robot_redirects.seq == F.col("f_seq"),
+                "left_anti",
+            ).unionByName(new_rr)
+        )
+        follow.unpersist()
         # --- frontier: drop fetched; filter newly-ready hosts by robots ---
         fetched_keys = page_sel.select("scheme", "host", "path", "batch_id", "seq")
         frontier = self.frontier.join(
             fetched_keys, ["scheme", "host", "path", "batch_id", "seq"], "left_anti"
         )
-        newly_ready = robots_fetched.join(
+        newly_ready = final_answers.select("scheme", "host").join(
             domains.filter(F.col("robot_state") == "ready").select(
                 "scheme", "host", "robot_body"
             ),
@@ -397,7 +505,8 @@ class CrawlDriver:
         return self.spark.createDataFrame(pd.concat(parts, ignore_index=True), schema)
 
     # -- checkpoint / resume -----------------------------------------------------
-    STATE_TABLES = ("domains", "frontier", "url_seen", "seen_txt", "seen_raw")
+    STATE_TABLES = ("domains", "frontier", "url_seen", "seen_txt", "seen_raw",
+                    "robot_redirects")
 
     def commit(self) -> None:
         """Commit a snapshot of all state + outputs at the current round."""

@@ -185,6 +185,8 @@ def build_web(scale: int = 1, seed: int = 42) -> FixtureWeb:
         ("http://sameip1.no/felles.html", "samme tjener en"),
         ("http://sameip2.no/felles.html", "samme tjener to"),
         ("http://sameip3.no/felles.html", "samme tjener tre"),
+        ("http://flytta.no/side1.html", "flyttede regler"),
+        ("http://evigrobots.no/tapt.html", "evige regler"),
     ]
     for i in range(4):
         links = hub_links if i == 0 else [
@@ -231,6 +233,14 @@ def build_web(scale: int = 1, seed: int = 42) -> FixtureWeb:
     _add_page(web, "http://a.no/mt.html",
               render_page(rng, "Oversatt", no_pars(2), [], mt_marker=True), HDR)
     _add_page(web, "http://a.no/liten.html", b"<html><body>kort</body></html>", HDR)
+    # undeclared legacy encoding: iso-8859-1 bytes with NO meta charset →
+    # the decode ladder ends at strict utf-8 and fails (process.py:213-214)
+    _add_page(
+        web, "http://a.no/knekt.html",
+        ("<html><head><title>Ødelagt</title></head><body><p>"
+         + " ".join(NO_SENTENCES[:3]) + "</p></body></html>").encode("iso-8859-1"),
+        HDR,
+    )
     _add_page(
         web, "http://a.no/latin1.html",
         render_page(rng, "Æøå på gammelt vis", no_pars(2), [], charset="iso-8859-1"),
@@ -321,6 +331,16 @@ def build_web(scale: int = 1, seed: int = 42) -> FixtureWeb:
     _add_page(web, "http://disallowed.no/hemmelig.html",
               render_page(rng, "Hemmelig", no_pars(2), []), HDR)
 
+    # --- flytta.no: robots.txt redirects to another host's robots (J3/F14) --
+    for i in (1, 2):
+        _add_page(web, f"http://flytta.no/side{i}.html",
+                  render_page(rng, f"Flytta {i}", no_pars(2),
+                              [("side2.html", "neste side her")] if i == 1 else []),
+                  HDR)
+    # evig-robots.no: robots redirect chain deeper than the 2-redirect cap
+    _add_page(web, "http://evigrobots.no/tapt.html",
+              render_page(rng, "Tapt", no_pars(2), []), HDR)
+
     # --- robots bodies ----------------------------------------------------------
     allow_all_hosts = ["seed.no", "a.no", "c.no", "hot.no", "en.example",
                        "redirect.no", "sameip1.no", "sameip2.no", "sameip3.no"]
@@ -338,6 +358,19 @@ def build_web(scale: int = 1, seed: int = 42) -> FixtureWeb:
         "scheme": "http", "host": "delay.no", "state": "FILE",
         "body": "User-agent: *\nCrawl-delay: 100\nDisallow: /ingen/\n",
     })
+    # robots redirect targets (crawl.py:394-420, ≤2 redirects)
+    web.robots.append({"scheme": "http", "host": "flytta.no", "state": "REDIR",
+                       "body": "http://regelvert.no/robots.txt"})
+    web.robots.append({"scheme": "http", "host": "regelvert.no", "state": "FILE",
+                       "body": "User-agent: *\nDisallow: /side2.html\n"})
+    web.robots.append({"scheme": "http", "host": "evigrobots.no", "state": "REDIR",
+                       "body": "http://evig2.no/robots.txt"})
+    web.robots.append({"scheme": "http", "host": "evig2.no", "state": "REDIR",
+                       "body": "http://evig3.no/robots.txt"})
+    web.robots.append({"scheme": "http", "host": "evig3.no", "state": "REDIR",
+                       "body": "http://evig4.no/robots.txt"})
+    web.robots.append({"scheme": "http", "host": "evig4.no", "state": "EMPTY",
+                       "body": ""})
 
     # --- dns --------------------------------------------------------------------
     ip_assign = {
@@ -346,6 +379,9 @@ def build_web(scale: int = 1, seed: int = 42) -> FixtureWeb:
         "redirect.no": "10.0.0.7", "disallowed.no": "10.0.0.8",
         "delay.no": "10.0.0.9", "dead.no": NO_HOST,
         "sameip1.no": "10.0.1.1", "sameip2.no": "10.0.1.1", "sameip3.no": "10.0.1.1",
+        "flytta.no": "10.0.2.1", "regelvert.no": "10.0.2.2",
+        "evigrobots.no": "10.0.2.3", "evig2.no": "10.0.2.4",
+        "evig3.no": "10.0.2.5", "evig4.no": "10.0.2.6",
     }
     for host, ip in ip_assign.items():
         web.dns.append({"scheme": "http", "host": host, "ip": ip})

@@ -40,14 +40,16 @@ def _rules_for(body: str) -> robotskit.RobotsRules:
 
 @pandas_udf(T.StringType())
 def robots_state_udf(state: pd.Series, body: pd.Series) -> pd.Series:
-    """(fixture fetch state, body) -> robot_state (domain.py:92-121).
+    """(fetch state, body) -> robot_state (domain.py:92-121).
 
     FILE -> parse -> ready (parse failure -> fail); EMPTY/blank -> empty;
-    FAIL/missing -> fail.
+    FAIL/missing -> fail; INIT -> init (redirect being followed).
     """
     out = []
     for s, b in zip(state, body):
-        if s is None or s == "FAIL":
+        if s == "INIT":
+            out.append("init")
+        elif s is None or s == "FAIL":
             out.append("fail")
         elif s == "EMPTY" or b is None or not b.strip():
             out.append("empty")
@@ -58,6 +60,34 @@ def robots_state_udf(state: pd.Series, body: pd.Series) -> pd.Series:
             except Exception:
                 out.append("fail")
     return pd.Series(out, dtype="object")
+
+
+REDIR_TARGET_SCHEMA = T.StructType(
+    [
+        T.StructField("scheme", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("path", T.StringType()),
+    ]
+)
+
+
+@pandas_udf(REDIR_TARGET_SCHEMA)
+def parse_robots_redirect_udf(location: pd.Series) -> pd.DataFrame:
+    """Split a robots-redirect Location into parts; nulls on failure
+    (crawl.py:394-420 builds the follow-up UrlParts from the raw URL)."""
+    from ..functions import urlkit
+
+    rows = []
+    for loc in location:
+        try:
+            scheme, host, path = urlkit.url_split(loc or "")
+        except ValueError:
+            scheme = None
+        if scheme not in ("http", "https") or not host:
+            rows.append((None, None, None))
+        else:
+            rows.append((scheme, host, path))
+    return pd.DataFrame(rows, columns=["scheme", "host", "path"])
 
 
 @pandas_udf(T.BooleanType())
@@ -129,18 +159,15 @@ def merge_counters(domains: DataFrame, docs: DataFrame) -> DataFrame:
     return merged
 
 
-def apply_robots_arrivals(
-    domains: DataFrame, robots_fetches: DataFrame, robots_table: DataFrame
-) -> DataFrame:
-    """Update domains whose /robots.txt was fetched this round.
+def apply_robots_arrivals(domains: DataFrame, answers: DataFrame) -> DataFrame:
+    """Update domains from this round's robots answers.
 
-    robots_fetches: (scheme, host) fetched this round.  robots_table:
-    (scheme, host, state, body) fixture source (U11 mock — in production
-    the fetch UDF fills state/body).
+    answers: (scheme, host, state, body) where scheme/host identify the
+    DOMAIN being updated (for a robots-redirect fetch that is the SOURCE
+    domain, crawl.py:503-520) and state is FILE/EMPTY/FAIL/INIT.
     """
     arrivals = (
-        robots_fetches.select("scheme", "host")
-        .join(robots_table, ["scheme", "host"], "left")
+        answers
         .withColumn("new_state", robots_state_udf(F.col("state"), F.col("body")))
         .select(
             "scheme", "host", "new_state",

@@ -40,18 +40,35 @@ def select_urls(
     frontier: DataFrame,
     domains: DataFrame,
     params,
+    robot_redirects: DataFrame | None = None,
 ) -> DataFrame:
     """Returns the round's fetch list: (scheme, host, path, ip, distance,
-    is_robot, batch_id, seq, fetch_seq, url) ordered by fetch_seq."""
+    is_robot, is_rr, src_scheme, src_host, redir_count, batch_id, seq,
+    fetch_seq, url) ordered by fetch_seq.
+
+    robot_redirects (optional): pending robots-redirect fetches
+    (src_scheme, src_host, scheme, host, path, ip, redir_count, seq) —
+    fetched with top priority (crawl.py:413-415 appendleft), charged to the
+    TARGET host's politeness slot; at most one fetch per (scheme, host) per
+    round overall.
+    """
     live = domains.filter(~F.col("bad") & F.col("ip").isNotNull())
+    null_src = [
+        F.lit(None).cast("string").alias("src_scheme"),
+        F.lit(None).cast("string").alias("src_host"),
+        F.lit(0).alias("redir_count"),
+    ]
     robot_cand = (
         live.filter(F.col("robot_state") == "none")
         .select(
             "scheme", "host", "ip", "distance",
             F.lit(ROBOT_PATH).alias("path"),
             F.lit(True).alias("is_robot"),
+            F.lit(False).alias("is_rr"),
+            *null_src,
             F.lit(None).cast("long").alias("batch_id"),
             F.lit(None).cast("long").alias("seq"),
+            F.lit(1).alias("priority"),
         )
     )
     ready = live.filter(F.col("robot_state").isin("ready", "empty")).select(
@@ -66,16 +83,47 @@ def select_urls(
         .filter(F.col("rn") == 1)
         .select(
             "scheme", "host", "ip", "distance", "path",
-            F.lit(False).alias("is_robot"), "batch_id", "seq",
+            F.lit(False).alias("is_robot"),
+            F.lit(False).alias("is_rr"),
+            *null_src,
+            "batch_id", "seq",
+            F.lit(1).alias("priority"),
         )
     )
     cand = robot_cand.unionByName(page_cand)
+    if robot_redirects is not None:
+        per_rr = Window.partitionBy("scheme", "host").orderBy("seq")
+        rr_cand = (
+            robot_redirects.withColumn("rn", F.row_number().over(per_rr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "scheme", "host", "ip",
+                F.lit(0).alias("distance"),
+                "path",
+                F.lit(True).alias("is_robot"),
+                F.lit(True).alias("is_rr"),
+                "src_scheme", "src_host", "redir_count",
+                F.lit(None).cast("long").alias("batch_id"),
+                "seq",
+                F.lit(0).alias("priority"),
+            )
+        )
+        cand = cand.unionByName(rr_cand)
     cand = cand.withColumn(
         "hb", bucket_index_col(F.length("host"), list(params.hostname_len_ranges))
     ).withColumn(
         "db", bucket_index_col(F.col("distance"), list(params.distance_ranges))
     )
-    order = [F.col("hb").asc(), F.col("db").asc(), F.col("host").asc(), F.col("scheme").asc()]
+    order = [
+        F.col("priority").asc(), F.col("hb").asc(), F.col("db").asc(),
+        F.col("host").asc(), F.col("scheme").asc(),
+    ]
+    # one fetch per (scheme, host) per round — rr wins over the domain's own
+    # candidate (priority)
+    host_w = Window.partitionBy("scheme", "host").orderBy(*order)
+    cand = cand.withColumn("host_rn", F.row_number().over(host_w)).filter(
+        F.col("host_rn") == 1
+    )
     ip_w = Window.partitionBy("ip").orderBy(*order)
     cand = cand.withColumn("ip_rn", F.row_number().over(ip_w)).filter(
         F.col("ip_rn") <= params.ip_cap
@@ -93,6 +141,6 @@ def select_urls(
                 ),
             ),
         )
-        .drop("hb", "db", "ip_rn")
+        .drop("hb", "db", "ip_rn", "host_rn", "priority")
     )
     return selected

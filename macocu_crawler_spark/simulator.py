@@ -25,6 +25,12 @@ this simulator and the Spark driver implement:
 - yield rule evaluated per round once past min docs/bytes
   (domain.py:228-244); counters only accumulate from pages with accepted
   text (process.py:641 sends len(html_text) which is '' otherwise)
+- robots redirects (crawl.py:394-420, 503-552): a robots fetch answered
+  with a redirect enqueues a robots-redirect fetch of the target URL,
+  charged to the TARGET host's politeness slot, fetched with top priority
+  (the reference appendlefts it); the fetched body applies to the SOURCE
+  domain; more than MAX_ROBOT_REDIRECTS (2) hops → robots FAIL for the
+  source.  Targets are answered from the robots table by (scheme, host).
 """
 
 from __future__ import annotations
@@ -113,6 +119,7 @@ class CrawlSimulator:
         self.dns = web.dns_map()
         self.redirects = web.redirect_map()
         self.domains: dict[tuple[str, str], SimDomain] = {}
+        self.robot_redirects: list[dict] = []
         self.url_seen: set[tuple[str, str, str]] = set()
         self.txt_seen: dict[str, int] = {}
         self.raw_seen: dict[str, int] = {}
@@ -176,10 +183,8 @@ class CrawlSimulator:
         dom.pending.sort(key=lambda t: len(t[0]))  # stable: (len, insertion)
 
     # -- robots arrival (domain.py:92-121) ------------------------------------
-    def _set_robots(self, dom: SimDomain) -> None:
-        entry = self.robots.get((dom.scheme, dom.host))
-        state = entry["state"] if entry else "EMPTY"
-        if state == "EMPTY" or (entry and not entry["body"].strip()):
+    def _apply_robots(self, dom: SimDomain, state: str, body: str) -> None:
+        if state == "EMPTY" or (state == "FILE" and not body.strip()):
             dom.robot_state = "empty"
         elif state == "FAIL":
             dom.robot_state = "fail"
@@ -188,7 +193,7 @@ class CrawlSimulator:
         else:
             try:
                 dom.rules, _delay = robotskit.parse_and_get_crawl_delay(
-                    entry["body"], self.params.agent
+                    body, self.params.agent
                 )
                 dom.robot_state = "ready"
                 dom.pending = [
@@ -199,6 +204,40 @@ class CrawlSimulator:
                 dom.robot_state = "fail"
                 if not config.IGNORE_ROBOTS_WHEN_FAILED:
                     dom.bad = True
+
+    def _handle_robots_fetch(
+        self, dom: SimDomain, target_scheme: str, target_host: str, redir_count: int
+    ) -> None:
+        """A robots fetch (own or redirect-target) resolved against the
+        robots table; REDIR chains (crawl.py:394-420, cap 2)."""
+        entry = self.robots.get((target_scheme, target_host))
+        state = entry["state"] if entry else "EMPTY"
+        body = entry["body"] if entry else ""
+        if state != "REDIR":
+            self._apply_robots(dom, state, body)
+            return
+        if redir_count >= config.MAX_ROBOT_REDIRECTS:
+            self._apply_robots(dom, "FAIL", "")
+            return
+        try:
+            scheme, host, path = urlkit.url_split(body)
+        except ValueError:
+            scheme = None
+        if scheme not in ("http", "https"):
+            self._apply_robots(dom, "FAIL", "")
+            return
+        ip = self.dns.get(host, NO_HOST)
+        if ip in (NO_HOST, None):
+            self._apply_robots(dom, "FAIL", "")
+            return
+        self.robot_redirects.append(
+            {
+                "src": (dom.scheme, dom.host), "scheme": scheme, "host": host,
+                "path": path, "ip": ip, "count": redir_count + 1,
+                "seq": self.seq_counter,
+            }
+        )
+        self.seq_counter += 1
 
     # -- yield rule (domain.py:228-244) ---------------------------------------
     def _is_efficient(self, dom: SimDomain) -> bool:
@@ -219,7 +258,30 @@ class CrawlSimulator:
         for dom in self.domains.values():
             if not dom.bad:
                 self._is_efficient(dom)
-        # select: one URL per eligible domain, ordered
+        # select: robots-redirect fetches first (appendleft priority,
+        # crawl.py:413-415), then one URL per eligible domain, ordered
+        occupied: set[tuple[str, str]] = set()
+        ip_counts: dict[str, int] = {}
+        selected: list[tuple] = []
+        picked_rr: list[dict] = []
+        # one pending entry per target host (earliest seq), swept in bucket
+        # order (mirrors the Spark window + ordering exactly)
+        rr_by_host: dict[tuple[str, str], dict] = {}
+        for entry in sorted(self.robot_redirects, key=lambda e: e["seq"]):
+            rr_by_host.setdefault((entry["scheme"], entry["host"]), entry)
+        for entry in sorted(
+            rr_by_host.values(),
+            key=lambda e: (self.params.bucket_key(e["host"], 0), e["host"], e["scheme"]),
+        ):
+            key = (entry["scheme"], entry["host"])
+            if key in occupied or len(selected) >= self.params.max_url_select:
+                continue
+            if ip_counts.get(entry["ip"], 0) >= self.params.ip_cap:
+                continue
+            occupied.add(key)
+            ip_counts[entry["ip"]] = ip_counts.get(entry["ip"], 0) + 1
+            selected.append(("rr", entry))
+            picked_rr.append(entry)
         candidates = []
         for key in sorted(self.domains, key=lambda k: (k[1], k[0])):
             dom = self.domains[key]
@@ -236,26 +298,37 @@ class CrawlSimulator:
                 c[0].scheme,
             )
         )
-        # per-IP politeness cap
-        ip_counts: dict[str, int] = {}
-        selected = []
         for dom, path, is_robot in candidates:
+            key = (dom.scheme, dom.host)
+            if key in occupied or len(selected) >= self.params.max_url_select:
+                continue
             n = ip_counts.get(dom.ip, 0)
             if n >= self.params.ip_cap:
                 continue
+            occupied.add(key)
             ip_counts[dom.ip] = n + 1
-            selected.append((dom, path, is_robot))
-            if len(selected) >= self.params.max_url_select:
-                break
+            selected.append(("dom", dom, path, is_robot))
+        for entry in picked_rr:
+            self.robot_redirects.remove(entry)
         # fetch + process in order
         new_links: list[tuple] = []
         processed = 0
-        for seq, (dom, path, is_robot) in enumerate(selected):
+        for seq, item in enumerate(selected):
+            if item[0] == "rr":
+                entry = item[1]
+                url = urlkit.url_join(entry["scheme"], entry["host"], entry["path"])
+                self.result.fetch_log.append((round_no, seq, url))
+                src_dom = self.domains[entry["src"]]
+                self._handle_robots_fetch(
+                    src_dom, entry["scheme"], entry["host"], entry["count"]
+                )
+                continue
+            _, dom, path, is_robot = item
             url = urlkit.url_join(dom.scheme, dom.host, path)
             self.result.fetch_log.append((round_no, seq, url))
             if is_robot:
                 dom.robot_state = "init"
-                self._set_robots(dom)
+                self._handle_robots_fetch(dom, dom.scheme, dom.host, 0)
                 continue
             dom.pending.pop(0)
             if url in self.redirects:

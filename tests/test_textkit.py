@@ -263,3 +263,13 @@ class TestProcessPage:
     def test_token_count(self):
         row = self._process(page_html([GOOD_NO_PAR]))
         assert row["token_count"] == len(row["text"].split())
+
+    def test_undeclared_legacy_encoding_fails_cleanly(self):
+        # iso-8859-1 bytes, no meta charset: decode ladder ends at strict
+        # utf-8 (process.py:213-214) -> no text, no crash
+        html = f"<html><body><p>Blåbærsyltetøy og rømmegrøt. {GOOD_NO_PAR}</p></body></html>"
+        row = textkit.process_page(
+            1, "http://example.no/x.html", html.encode("iso-8859-1"),
+            self.HDR, "20230815100000", "10.0.0.1")
+        assert row["txt_len"] == 0
+        assert "cannot extract text" in row["error_msgs"]
