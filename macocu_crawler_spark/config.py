@@ -72,6 +72,7 @@ LANGUAGES_ACCEPT = frozenset({"Norwegian"})  # config.py:299
 LANG_DIFF_THRESHOLD_DOC = 0.6            # config.py:307
 LANG_DIFF_THRESHOLD_PAR = 0.95           # config.py:308
 FORCE_ENCODING = None                    # config.py:310
+UNIGRAM_MODELS = False                   # config.py:312 (1-grams for CJK)
 SPACE_SEP_TOKENS = True                  # config.py:315
 
 JUSTEXT_LENGTH_LOW = 50                  # config.py:319

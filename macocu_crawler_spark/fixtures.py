@@ -233,6 +233,13 @@ def build_web(scale: int = 1, seed: int = 42) -> FixtureWeb:
     _add_page(web, "http://a.no/mt.html",
               render_page(rng, "Oversatt", no_pars(2), [], mt_marker=True), HDR)
     _add_page(web, "http://a.no/liten.html", b"<html><body>kort</body></html>", HDR)
+    # text/plain page: the txt branch of the pipeline (process.py:278-299);
+    # paragraphs split on blank lines, all dom_path 'p'
+    _add_page(
+        web, "http://a.no/ren.txt",
+        ("\n\n".join(" ".join(NO_SENTENCES[i:i + 3]) for i in (0, 3, 6))).encode("utf-8"),
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n",
+    )
     # undeclared legacy encoding: iso-8859-1 bytes with NO meta charset →
     # the decode ladder ends at strict utf-8 and fails (process.py:213-214)
     _add_page(

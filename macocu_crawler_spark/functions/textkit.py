@@ -26,7 +26,7 @@ from importlib import resources
 
 from .. import config
 from . import boilerplate, urlkit
-from .trigram import TrigramModel, lang_difference
+from .trigram import TrigramModel, lang_difference, model_class
 
 try:  # pragma: no cover - not installed in this environment
     from chared.detector import EncodingDetector  # type: ignore
@@ -51,9 +51,10 @@ def _read_data(subdir: str, name: str) -> str:
 @lru_cache(maxsize=None)
 def get_lang_models() -> dict[str, TrigramModel]:
     """Trigram model per configured language (reference process.py:99-107)."""
+    cls = model_class()  # trigram, or unigram for CJK (config.UNIGRAM_MODELS)
     models = {}
     for lang in config.LANGUAGES:
-        models[lang] = TrigramModel()
+        models[lang] = cls()
         models[lang].add_lines([_read_data("lang_samples", lang)])
     return models
 
@@ -251,7 +252,7 @@ def any2txt(data_bs: bytes, file_type: str, error_msgs: list[str]):
         error_msgs.append("cannot extract text")
         return None
     min_doc_lang_diff, doc_lang = 1.0, None
-    doc_model = TrigramModel(doc_text)
+    doc_model = model_class()(doc_text)
     for lang in config.LANGUAGES:  # deterministic order (config.py)
         doc_lang_diff = lang_models[lang].diff(doc_model)
         if doc_lang_diff < min_doc_lang_diff:

@@ -77,7 +77,39 @@ class TrigramModel:
         return 1 - self.similarity(other)
 
 
+class UnigramModel(TrigramModel):
+    """1-gram variant for scripts without useful trigram statistics
+    (Chinese/Japanese/Korean) — reference util/trigrams1.py, selected via
+    config.UNIGRAM_MODELS.  Same cosine math over single-character counts
+    of the normalised stream (each line contributes ``strip() + ' '``)."""
+
+    def add_lines(self, lines) -> "TrigramModel":
+        parts = []
+        for line in lines:
+            line = _SPACE_RE.sub(" ", line).strip()
+            if line:
+                parts.append(line + " ")
+        stream = "".join(parts)
+        if stream:
+            windows = Counter(stream)
+            counts = self.counts
+            if counts:
+                for ch, n in windows.items():
+                    counts[ch] = counts.get(ch, 0) + n
+            else:
+                counts.update(windows)
+        self.norm = sum(c * c for c in self.counts.values()) ** 0.5
+        return self
+
+
+def model_class():
+    """The configured n-gram model (process.py:42-45 import switch)."""
+    from .. import config
+
+    return UnigramModel if getattr(config, "UNIGRAM_MODELS", False) else TrigramModel
+
+
 def lang_difference(model: TrigramModel, text: str) -> float:
-    """Reference process.py:123-127: build a trigram vector from the text and
+    """Reference process.py:123-127: build a vector from the text and
     return its difference against the language model."""
-    return model.diff(TrigramModel(text))
+    return model.diff(type(model)(text))

@@ -7,23 +7,39 @@ import pytest
 from tests.conftest import SF_DIR
 
 
+from macocu_crawler_spark.plans.audit import (
+    count_exchanges,
+    plan_string,
+    pushed_filters,
+    read_schemas,
+    uses_broadcast_join,
+)
+
+
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    return plan_string(df)
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    # other modules cache these tables; a cached relation replaces the file
+    # scan and hides pushdown/pruning from the plan
+    spark.catalog.clearCache()
+    yield
 
 
 class TestPushdownAndPruning:
     def test_filter_pushdown_reaches_parquet_scan(self, spark):
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         q = li.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
-        plan = _plan(q)
-        assert "PushedFilters: [" in plan and "l_orderkey" in plan.split("PushedFilters")[1][:120], plan
+        pushed = pushed_filters(q)
+        assert any("l_orderkey" in p for p in pushed), pushed
 
     def test_column_pruning_reaches_scan(self, spark):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         q = docs.select("doc_id")
-        plan = _plan(q)
-        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
-        assert "text" not in read_schema, read_schema
+        schemas = read_schemas(q)
+        assert schemas and all("text" not in rs for rs in schemas), schemas
 
     def test_extract_input_pruned_to_needed_columns(self, spark, fixture_dir):
         """The mapInPandas extract stage must not drag unrelated columns
@@ -33,15 +49,14 @@ class TestPushdownAndPruning:
         pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").withColumn(
             "wpage_id", F.monotonically_increasing_id()
         )
-        plan = _plan(extract_documents(pages))
-        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
-        assert "text" not in read_schema and "lang" not in read_schema, read_schema
+        schemas = read_schemas(extract_documents(pages))
+        assert schemas and all(
+            "text" not in rs and "lang" not in rs for rs in schemas), schemas
 
     def test_broadcast_join_used_for_dims(self, spark):
         import __spark_entry__ as em
 
-        plan = _plan(em.queries()["q_broadcast_star"](spark, SF_DIR))
-        assert "BroadcastHashJoin" in plan
+        assert uses_broadcast_join(em.queries()["q_broadcast_star"](spark, SF_DIR))
 
     def test_whole_stage_codegen_and_partial_agg(self, spark):
         import __spark_entry__ as em
@@ -73,7 +88,7 @@ class TestPushdownAndPruning:
                                     "scheme string, host string, ip string")
         new_rows, _, _ = admit_links(
             links, empty_domains, empty_seen, dns, 1, CrawlParams())
-        assert "BroadcastHashJoin" in _plan(new_rows)
+        assert uses_broadcast_join(new_rows)
 
 
 class TestPrevertSink:

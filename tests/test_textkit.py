@@ -264,6 +264,19 @@ class TestProcessPage:
         row = self._process(page_html([GOOD_NO_PAR]))
         assert row["token_count"] == len(row["text"].split())
 
+    def test_text_plain_branch(self):
+        # process.py:278-299: blank-line paragraph split, word_count set
+        body = (GOOD_NO_PAR + "\n\n" + GOOD_NO_PAR + " Enda en setning til her.").encode()
+        row = textkit.process_page(
+            3, "http://example.no/ren.txt", body,
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n",
+            "20230815100000", "10.0.0.1")
+        assert row["file_type"] == "txt"
+        assert row["lang"] == "Norwegian"
+        assert row["txt_len"] > 0
+        assert row["text"].count("\n") >= 1  # both paragraphs kept
+        assert row["links"] == []
+
     def test_undeclared_legacy_encoding_fails_cleanly(self):
         # iso-8859-1 bytes, no meta charset: decode ladder ends at strict
         # utf-8 (process.py:213-214) -> no text, no crash
@@ -273,3 +286,24 @@ class TestProcessPage:
             self.HDR, "20230815100000", "10.0.0.1")
         assert row["txt_len"] == 0
         assert "cannot extract text" in row["error_msgs"]
+
+
+class TestUnigramModel:
+    def test_matches_reference_semantics(self):
+        # trigrams1.py: whitespace (incl. newlines) collapses to single
+        # spaces, then each char of strip()+' ' is counted
+        from macocu_crawler_spark.functions.trigram import UnigramModel
+
+        m = UnigramModel("ab  a\nb")  # -> stream "ab a b "
+        assert m.counts == {"a": 2, "b": 2, " ": 3}
+        m2 = UnigramModel()
+        m2.add_lines(["ab", "b"])  # two lines -> "ab b "
+        assert m2.counts == {"a": 1, "b": 2, " ": 2}
+
+    def test_distinguishes_scripts(self):
+        from macocu_crawler_spark.functions.trigram import UnigramModel
+
+        cjk = UnigramModel("这是一个中文句子 我们用它来测试")
+        latin = UnigramModel("dette er en norsk setning")
+        probe = UnigramModel("另一个中文句子 测试用")
+        assert cjk.diff(probe) < latin.diff(probe)
