@@ -170,6 +170,13 @@ class CrawlDriver:
             os.path.join(fixture_dir, "redirects.parquet")
         ).cache()
         self.seeds_path = os.path.join(fixture_dir, "seeds.txt")
+        # static fast-path flags: when the web has no redirects / no
+        # redirecting robots, the corresponding per-round plumbing is
+        # skipped entirely (identical semantics, fewer jobs per round)
+        self._has_redirects = self.redirects.limit(1).count() > 0
+        self._has_redir_robots = (
+            self.robots.filter(F.col("state") == "REDIR").limit(1).count() > 0
+        )
         # mutable Spark state
         self.domains: DataFrame | None = None
         self.frontier: DataFrame | None = None
@@ -190,8 +197,24 @@ class CrawlDriver:
 
     @staticmethod
     def _pin(df: DataFrame) -> DataFrame:
-        """Materialise + truncate lineage (iterative loop necessity)."""
+        """Materialise + truncate lineage (within-round subtrees).
+
+        NB: localCheckpoint PRESERVES the origin plan's size statistics, so
+        it must not be used for state that feeds next round's joins — join
+        size estimates multiply, the carried sizeInBytes grows
+        exponentially across rounds, and Catalyst's stats visitor ends up
+        doing million-digit BigInteger math (observed as a planning stall
+        around round 15).  Cross-round state goes through _pin_durable.
+        """
         return df.localCheckpoint(eager=True)
+
+    def _pin_durable(self, name: str, df: DataFrame) -> DataFrame:
+        """Commit state to the catalog and read it back: truncates lineage
+        AND resets statistics to the true on-disk size (the production
+        equivalent — the Iceberg MERGE commit — does exactly this)."""
+        self.catalog.write(name, df, version=self.round_no,
+                           metrics={"round": self.round_no})
+        return self.catalog.read(self.spark, name, version=self.round_no)
 
     # -- bootstrap ---------------------------------------------------------------
     def init_from_seeds(self) -> None:
@@ -219,9 +242,12 @@ class CrawlDriver:
         new_rows, new_seen, domains2 = admit_links(
             links, self.domains, self.url_seen, self.dns, round_no=0, params=self.params
         )
-        self.frontier = self._pin(new_rows)
-        self.url_seen = self._pin(new_seen)
-        self.domains = self._pin(domains2)
+        self.frontier = self._pin_durable("frontier", new_rows)
+        self.url_seen = self._pin_durable("url_seen", new_seen)
+        self.domains = self._pin_durable("domains", domains2)
+        self.robot_redirects = self._pin_durable("robot_redirects", self.robot_redirects)
+        self.seen_txt = self._pin_durable("seen_txt", self.seen_txt)
+        self.seen_raw = self._pin_durable("seen_raw", self.seen_raw)
 
     # -- one round ------------------------------------------------------------------
     def run_round(self) -> int:
@@ -229,7 +255,8 @@ class CrawlDriver:
         r = self.round_no
         domains = apply_yield_rule(self.domains, self.params)
         selected = select_urls(
-            self.frontier, domains, self.params, robot_redirects=self.robot_redirects
+            self.frontier, domains, self.params,
+            robot_redirects=self.robot_redirects if self._has_redir_robots else None,
         )
         selected.persist()
         # collecting the (round, fetch_seq, url) log doubles as the count
@@ -245,16 +272,21 @@ class CrawlDriver:
         self.fetch_parts.append(fetch_pdf)
         # --- mock fetch (U11): join selected vs fixture web ---
         page_sel = selected.filter(~F.col("is_robot") & ~F.col("is_rr"))
-        redirect_hits = page_sel.join(
-            self.redirects.withColumnRenamed("url", "r_url"),
-            page_sel.url == F.col("r_url"),
-        )
-        page_hits = (
-            page_sel.join(
+        if self._has_redirects:
+            redirect_hits = page_sel.join(
+                self.redirects.withColumnRenamed("url", "r_url"),
+                page_sel.url == F.col("r_url"),
+            )
+            not_redirected = page_sel.join(
                 self.redirects.withColumnRenamed("url", "r_url"),
                 page_sel.url == F.col("r_url"),
                 "left_anti",
             )
+        else:  # fast path: no redirects in this web
+            redirect_hits = None
+            not_redirected = page_sel
+        page_hits = (
+            not_redirected
             .join(self.pages.select("url", "warc_ts", "html", "http_header"), "url")
             .filter(
                 (F.length("html") >= 200) & (F.length("html") <= 10 * 1024 * 1024)
@@ -296,6 +328,16 @@ class CrawlDriver:
         # fetches; the latter apply to their SOURCE domain) ---
         domains = merge_counters(domains, docs)
         own_robot_fetches = selected.filter(F.col("is_robot") & ~F.col("is_rr"))
+        if not self._has_redir_robots:
+            # fast path: no REDIR robots exist — answers are final as-is
+            final_answers = own_robot_fetches.select("scheme", "host").join(
+                self.robots, ["scheme", "host"], "left"
+            ).select("scheme", "host", "state", "body")
+            domains = self._pin(apply_robots_arrivals(domains, final_answers))
+            return self._finish_round(
+                r, domains, selected, page_sel, docs, redirect_hits,
+                final_answers, n_selected, n_processed,
+            )
         rr_fetches = selected.filter(F.col("is_rr"))
         answers = (
             own_robot_fetches.select(
@@ -379,14 +421,25 @@ class CrawlDriver:
         )
         domains = self._pin(apply_robots_arrivals(domains, final_answers))
         # robot-redirect queue: drop fetched entries, add follow-ups
-        self.robot_redirects = self._pin(
+        self.robot_redirects = self._pin_durable(
+            "robot_redirects",
             self.robot_redirects.join(
                 rr_fetches.select(F.col("seq").alias("f_seq")),
                 self.robot_redirects.seq == F.col("f_seq"),
                 "left_anti",
-            ).unionByName(new_rr)
+            ).unionByName(new_rr),
         )
         follow.unpersist()
+        return self._finish_round(
+            r, domains, selected, page_sel, docs, redirect_hits,
+            final_answers, n_selected, n_processed,
+        )
+
+    def _finish_round(
+        self, r, domains, selected, page_sel, docs, redirect_hits,
+        final_answers, n_selected, n_processed,
+    ) -> int:
+        """Frontier update + link admission + bookkeeping (shared tail)."""
         # --- frontier: drop fetched; filter newly-ready hosts by robots ---
         fetched_keys = page_sel.select("scheme", "host", "path", "batch_id", "seq")
         frontier = self.frontier.join(
@@ -426,23 +479,25 @@ class CrawlDriver:
                 F.col("link.path").alias("path"),
             )
         )
-        redir_links = (
-            redirect_hits.select(
-                F.col("scheme").alias("src_scheme"),
-                F.col("host").alias("src_host"),
-                "fetch_seq",
-                F.lit(-1).alias("pos"),
-                check_redirect_udf(F.col("host"), F.col("location")).alias("chk"),
+        links = doc_links
+        if redirect_hits is not None:
+            redir_links = (
+                redirect_hits.select(
+                    F.col("scheme").alias("src_scheme"),
+                    F.col("host").alias("src_host"),
+                    "fetch_seq",
+                    F.lit(-1).alias("pos"),
+                    check_redirect_udf(F.col("host"), F.col("location")).alias("chk"),
+                )
+                .select(
+                    "src_scheme", "src_host", "fetch_seq", "pos",
+                    F.col("chk.scheme").alias("scheme"),
+                    F.col("chk.host").alias("host"),
+                    F.col("chk.path").alias("path"),
+                )
+                .filter(F.col("scheme").isNotNull())
             )
-            .select(
-                "src_scheme", "src_host", "fetch_seq", "pos",
-                F.col("chk.scheme").alias("scheme"),
-                F.col("chk.host").alias("host"),
-                F.col("chk.path").alias("path"),
-            )
-            .filter(F.col("scheme").isNotNull())
-        )
-        links = doc_links.unionByName(redir_links)
+            links = links.unionByName(redir_links)
         link_w = Window.orderBy("fetch_seq", "pos")
         links = links.withColumn(
             "seq", F.lit(r * 1_000_000_000) + F.row_number().over(link_w)
@@ -461,11 +516,18 @@ class CrawlDriver:
             ["scheme", "host"],
             "left_anti",
         )
-        self.frontier = self._pin(frontier.unionByName(new_rows))
+        self.frontier = self._pin_durable("frontier", frontier.unionByName(new_rows))
         self.url_seen = self.url_seen.unionByName(self._pin(new_seen))
-        self.domains = self._pin(domains2)
+        self.domains = self._pin_durable("domains", domains2)
         docs.unpersist()
         selected.unpersist()
+        # compact the append-only union chains periodically: beyond ~10 legs
+        # the Catalyst analysis of the admission joins dominates the round
+        # (observed: planning stall around round 40 without this)
+        if r % 8 == 0:
+            self.url_seen = self._pin_durable("url_seen", self.url_seen)
+            self.seen_txt = self._pin_durable("seen_txt", self.seen_txt)
+            self.seen_raw = self._pin_durable("seen_raw", self.seen_raw)
         self.metrics.append({"round": r, "selected": n_selected, "processed": n_processed})
         if self.checkpoint_every and r % self.checkpoint_every == 0:
             self.commit()
@@ -509,12 +571,20 @@ class CrawlDriver:
                     "robot_redirects")
 
     def commit(self) -> None:
-        """Commit a snapshot of all state + outputs at the current round."""
+        """Commit a snapshot of all state + outputs at the current round.
+
+        frontier/domains/robot_redirects are already committed per round by
+        _pin_durable; the append-only sets are committed here (and at their
+        periodic compaction)."""
         for name in self.STATE_TABLES:
-            self.catalog.write(
-                name, getattr(self, name), version=self.round_no,
-                metrics={"round": self.round_no},
-            )
+            df = getattr(self, name)
+            if self.catalog.latest_version(name) != self.round_no or name not in (
+                "frontier", "domains", "robot_redirects"
+            ):
+                self.catalog.write(
+                    name, df, version=self.round_no,
+                    metrics={"round": self.round_no},
+                )
         for name in ("documents", "fetch_log", "duplicates", "ignored"):
             self.catalog.write(
                 name, getattr(self, name), version=self.round_no,
@@ -536,7 +606,7 @@ class CrawlDriver:
         self.wpage_base = meta["wpage_base"]
         self.metrics = meta["metrics"]
         for name in self.STATE_TABLES:
-            setattr(self, name, self._pin(self.catalog.read(self.spark, name)))
+            setattr(self, name, self.catalog.read(self.spark, name, version=self.round_no))
         self.doc_parts = [self.catalog.read(self.spark, "documents").toPandas()]
         self.fetch_parts = [self.catalog.read(self.spark, "fetch_log").toPandas()]
         self.dup_parts = [self.catalog.read(self.spark, "duplicates").toPandas()]
