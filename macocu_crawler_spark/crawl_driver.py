@@ -25,10 +25,16 @@ Iteration mechanics (local-mode pragmatics, production notes inline):
   commit itself is the truncation
 - append-only state (url_seen, seen_hashes) grows by pinned increments —
   in production: table appends
-- small per-round outputs (fetch log, documents, duplicate ids) are
-  collected to the driver and appended at commit time — in production:
-  Iceberg appends; at fixture/bench scale the driver copy is cheaper than
-  one write job per round
+- per-round outputs (fetch log, documents + their ignored links, duplicate
+  ids) are appended to the SnapshotCatalog as one version per round — the
+  driver holds only row COUNTS; no full-text column is ever collected
+  (asserted by tests/test_crawl_driver.py::test_no_fulltext_collection).
+  Re-running a round after a crash overwrites the same version, so resume
+  is idempotent.
+- all global sequence numbers (fetch_seq, wpage_id, link seq) are assigned
+  scale-safely: fetch_seq by ordered-limit-then-number over the bounded
+  fetch batch, the rest by two-pass bucketed numbering
+  (operators/partitioning.bucketed_seq) — no single-partition windows.
 """
 
 from __future__ import annotations
@@ -55,6 +61,7 @@ from .operators.domains import (
     robots_allowed_udf,
 )
 from .operators.extract import extract_documents
+from .operators.partitioning import bucketed_seq
 from .operators.scheduler_round import select_urls
 from .simulator import CrawlParams
 
@@ -184,11 +191,8 @@ class CrawlDriver:
         self.seen_txt: DataFrame | None = None
         self.seen_raw: DataFrame | None = None
         self.robot_redirects: DataFrame | None = None
-        # driver-side accumulated outputs (pandas parts; appended at commit)
-        self.doc_parts: list[pd.DataFrame] = []
-        self.fetch_parts: list[pd.DataFrame] = []
-        self.dup_parts: list[pd.DataFrame] = []
-        self.ignored_parts: list[pd.DataFrame] = []
+        # driver-side bookkeeping is COUNTS ONLY — outputs live in the
+        # catalog (one version per round; see module docstring)
         self.metrics: list[dict] = []
 
     # -- helpers -----------------------------------------------------------------
@@ -259,17 +263,20 @@ class CrawlDriver:
             robot_redirects=self.robot_redirects if self._has_redir_robots else None,
         )
         selected.persist()
-        # collecting the (round, fetch_seq, url) log doubles as the count
-        fetch_pdf = selected.select(
-            F.lit(r).cast("long").alias("round"), F.col("fetch_seq"), "url"
-        ).toPandas()
-        n_selected = len(fetch_pdf)
+        n_selected = selected.count()
         if n_selected == 0:
             selected.unpersist()
             self.domains = self._pin(domains)
             self.metrics.append({"round": r, "selected": 0, "processed": 0})
             return 0
-        self.fetch_parts.append(fetch_pdf)
+        # S-output: fetch log appended to the catalog (never held driver-side)
+        self.catalog.write(
+            "fetch_log",
+            selected.select(
+                F.lit(r).cast("long").alias("round"), F.col("fetch_seq"), "url"
+            ),
+            version=r, metrics={"round": r},
+        )
         # --- mock fetch (U11): join selected vs fixture web ---
         page_sel = selected.filter(~F.col("is_robot") & ~F.col("is_rr"))
         if self._has_redirects:
@@ -292,38 +299,33 @@ class CrawlDriver:
                 (F.length("html") >= 200) & (F.length("html") <= 10 * 1024 * 1024)
             )
         )
-        wpage_w = Window.orderBy("fetch_seq")
-        page_hits = page_hits.withColumn(
-            "wpage_id", F.lit(self.wpage_base) + F.row_number().over(wpage_w) - 1
-        )
+        # wpage_id: fetch-order rank via bucketed two-pass numbering (the
+        # driver sees only per-bucket counts, never rows)
+        page_hits = bucketed_seq(
+            page_hits, "fetch_seq", [F.col("fetch_seq")], "wpage_id",
+            start=self.wpage_base,
+        ).persist()
         docs = extract_documents(page_hits).join(
             page_hits.select("wpage_id", "fetch_seq"), "wpage_id"
         )
         docs.persist()
-        # one collection job for documents + ignored links (S7)
-        docs_pdf = docs.select(*DOC_COLUMNS, "ignored_links").toPandas()
-        n_processed = len(docs_pdf)
+        n_processed = docs.count()
+        page_hits.unpersist()
         self.wpage_base += n_processed
-        self.doc_parts.append(docs_pdf[DOC_COLUMNS])
-        ignored_rows = [
-            (row.scheme, row.host, ig["reason"], ig["url"])
-            for row in docs_pdf.itertuples(index=False)
-            for ig in (row.ignored_links if row.ignored_links is not None else [])
-        ]
-        if ignored_rows:
-            self.ignored_parts.append(
-                pd.DataFrame(
-                    ignored_rows,
-                    columns=["src_scheme", "src_host", "reason", "url"],
-                )
+        if n_processed:
+            # S6/S7 outputs: documents (with their ignored-link arrays)
+            # appended to the catalog — the driver never holds rows
+            self.catalog.write(
+                "documents", docs.select(*DOC_COLUMNS, "ignored_links"),
+                version=r, metrics={"round": r},
             )
-        # --- dedup ---
-        # append-only sets grow by pinned increments (lazy union keeps the
-        # per-round cost O(increment); the union tree is shallow and cheap)
-        dup_ids, new_txt, new_raw = dedup_batch(docs, self.seen_txt, self.seen_raw)
-        self.dup_parts.append(dup_ids.toPandas())
-        self.seen_txt = self.seen_txt.unionByName(self._pin(new_txt))
-        self.seen_raw = self.seen_raw.unionByName(self._pin(new_raw))
+            # --- dedup ---
+            # append-only sets grow by pinned increments (lazy union keeps
+            # the per-round cost O(increment); the union tree stays shallow)
+            dup_ids, new_txt, new_raw = dedup_batch(docs, self.seen_txt, self.seen_raw)
+            self.catalog.write("duplicates", dup_ids, version=r, metrics={"round": r})
+            self.seen_txt = self.seen_txt.unionByName(self._pin(new_txt))
+            self.seen_raw = self.seen_raw.unionByName(self._pin(new_raw))
         # --- counters + robots answers (own fetches and redirect-target
         # fetches; the latter apply to their SOURCE domain) ---
         domains = merge_counters(domains, docs)
@@ -339,22 +341,24 @@ class CrawlDriver:
                 final_answers, n_selected, n_processed,
             )
         rr_fetches = selected.filter(F.col("is_rr"))
+        # each answer row keeps the fetch_seq of the fetch that produced it —
+        # the simulator appends redirect follow-ups in fetch-processing order,
+        # so fetch_seq IS the total order for new rr seq assignment
         answers = (
             own_robot_fetches.select(
-                "scheme", "host",
+                "scheme", "host", "fetch_seq",
                 F.col("scheme").alias("dom_scheme"), F.col("host").alias("dom_host"),
-                "redir_count", F.lit(None).cast("long").alias("rr_seq"),
+                "redir_count",
             )
             .unionByName(
                 rr_fetches.select(
-                    "scheme", "host",
+                    "scheme", "host", "fetch_seq",
                     F.col("src_scheme").alias("dom_scheme"),
                     F.col("src_host").alias("dom_host"),
-                    "redir_count", F.col("seq").alias("rr_seq"),
+                    "redir_count",
                 )
             )
             .join(self.robots, ["scheme", "host"], "left")
-            .withColumn("fetch_seq_order", F.coalesce("rr_seq", F.lit(0)))
         )
         # REDIR answers (crawl.py:394-420): follow up to MAX_ROBOT_REDIRECTS
         is_redir = F.col("state") == "REDIR"
@@ -377,7 +381,11 @@ class CrawlDriver:
         )
         follow.persist()
         rr_ok = follow.filter(F.col("tgt.scheme").isNotNull() & F.col("t_ip").isNotNull())
-        rr_w = Window.orderBy("fetch_seq_order", "dom_host", "dom_scheme")
+        # new rr seq: bucketed two-pass numbering by the triggering fetch_seq
+        # (unique per answer) — no single-partition window
+        rr_ok = bucketed_seq(
+            rr_ok, "fetch_seq", [F.col("fetch_seq")], "rr_rank", start=1
+        )
         new_rr = rr_ok.select(
             F.col("dom_scheme").alias("src_scheme"),
             F.col("dom_host").alias("src_host"),
@@ -386,8 +394,7 @@ class CrawlDriver:
             F.col("tgt.path").alias("path"),
             F.col("t_ip").alias("ip"),
             (F.col("redir_count") + 1).cast("int").alias("redir_count"),
-            (F.lit(r * 1_000_000_000 + 600_000_000) + F.row_number().over(rr_w))
-            .alias("seq"),
+            (F.lit(r * 1_000_000_000 + 600_000_000) + F.col("rr_rank")).alias("seq"),
         )
         rr_failed = follow.filter(
             F.col("tgt.scheme").isNull() | F.col("t_ip").isNull()
@@ -498,10 +505,14 @@ class CrawlDriver:
                 .filter(F.col("scheme").isNotNull())
             )
             links = links.unionByName(redir_links)
-        link_w = Window.orderBy("fetch_seq", "pos")
-        links = links.withColumn(
-            "seq", F.lit(r * 1_000_000_000) + F.row_number().over(link_w)
-        ).drop("fetch_seq", "pos")
+        # link seq: bucketed two-pass numbering over (fetch_seq, pos) —
+        # all links of one page share a bucket, so buckets are contiguous
+        # ranges of the total order; no single-partition window
+        links = bucketed_seq(
+            links, "fetch_seq", [F.col("fetch_seq"), F.col("pos")], "link_rank",
+        ).withColumn(
+            "seq", F.lit(r * 1_000_000_000) + F.col("link_rank")
+        ).drop("fetch_seq", "pos", "link_rank")
         # pin: the links subtree is referenced many times inside admit_links
         # (distance, new-domain, seen and robots joins) — without truncation
         # the analysed plan replicates the whole extract stage per reference
@@ -533,27 +544,40 @@ class CrawlDriver:
             self.commit()
         return n_selected
 
-    # -- output accessors (Spark DataFrames over driver-side parts) ---------------
-    def _from_parts(self, parts: list[pd.DataFrame], schema) -> DataFrame:
-        non_empty = [p for p in parts if len(p)]
-        if not non_empty:
-            return self._empty(schema)
-        return self.spark.createDataFrame(pd.concat(non_empty, ignore_index=True), schema)
+    # -- output accessors (catalog-backed; the driver never holds rows) -----------
+    OUTPUT_TABLES = ("fetch_log", "documents", "duplicates")
+
+    def _read_output(self, name: str, schema) -> DataFrame:
+        try:
+            return self.catalog.read_all(self.spark, name)
+        except FileNotFoundError:
+            return self._empty(schema) if not isinstance(schema, str) else (
+                self.spark.createDataFrame([], schema)
+            )
 
     @property
     def fetch_log(self) -> DataFrame:
-        schema = "round long, fetch_seq long, url string"
-        return self._from_parts(self.fetch_parts, schema)
+        return self._read_output("fetch_log", "round long, fetch_seq long, url string")
 
     @property
     def duplicates(self) -> DataFrame:
-        return self._from_parts(self.dup_parts, "wpage_id long")
+        return self._read_output("duplicates", "wpage_id long")
 
     @property
     def ignored(self) -> DataFrame:
-        return self._from_parts(
-            self.ignored_parts,
-            "src_scheme string, src_host string, reason string, url string",
+        """S7: per-document ignored-link arrays, exploded at read time."""
+        schema = "src_scheme string, src_host string, reason string, url string"
+        try:
+            docs = self.catalog.read_all(self.spark, "documents")
+        except FileNotFoundError:
+            return self.spark.createDataFrame([], schema)
+        return docs.select(
+            F.col("scheme").alias("src_scheme"),
+            F.col("host").alias("src_host"),
+            F.explode("ignored_links").alias("ig"),
+        ).select(
+            "src_scheme", "src_host",
+            F.col("ig.reason").alias("reason"), F.col("ig.url").alias("url"),
         )
 
     @property
@@ -561,21 +585,24 @@ class CrawlDriver:
         schema = T.StructType(
             [f for f in schemas.EXTRACTED.fields if f.name in DOC_COLUMNS]
         )
-        parts = [p[[f.name for f in schema.fields]] for p in self.doc_parts if len(p)]
-        if not parts:
+        try:
+            return self.catalog.read_all(self.spark, "documents").select(
+                *[f.name for f in schema.fields]
+            )
+        except FileNotFoundError:
             return self._empty(schema)
-        return self.spark.createDataFrame(pd.concat(parts, ignore_index=True), schema)
 
     # -- checkpoint / resume -----------------------------------------------------
     STATE_TABLES = ("domains", "frontier", "url_seen", "seen_txt", "seen_raw",
                     "robot_redirects")
 
     def commit(self) -> None:
-        """Commit a snapshot of all state + outputs at the current round.
+        """Commit a snapshot of all state at the current round.
 
         frontier/domains/robot_redirects are already committed per round by
         _pin_durable; the append-only sets are committed here (and at their
-        periodic compaction)."""
+        periodic compaction).  Per-round outputs are already in the catalog
+        (one version per round) — nothing to copy."""
         for name in self.STATE_TABLES:
             df = getattr(self, name)
             if self.catalog.latest_version(name) != self.round_no or name not in (
@@ -585,11 +612,6 @@ class CrawlDriver:
                     name, df, version=self.round_no,
                     metrics={"round": self.round_no},
                 )
-        for name in ("documents", "fetch_log", "duplicates", "ignored"):
-            self.catalog.write(
-                name, getattr(self, name), version=self.round_no,
-                metrics={"round": self.round_no},
-            )
         meta = {
             "round": self.round_no,
             "wpage_base": self.wpage_base,
@@ -607,13 +629,11 @@ class CrawlDriver:
         self.metrics = meta["metrics"]
         for name in self.STATE_TABLES:
             setattr(self, name, self.catalog.read(self.spark, name, version=self.round_no))
-        self.doc_parts = [self.catalog.read(self.spark, "documents").toPandas()]
-        self.fetch_parts = [self.catalog.read(self.spark, "fetch_log").toPandas()]
-        self.dup_parts = [self.catalog.read(self.spark, "duplicates").toPandas()]
-        try:
-            self.ignored_parts = [self.catalog.read(self.spark, "ignored").toPandas()]
-        except FileNotFoundError:
-            self.ignored_parts = []
+        # outputs appended by rounds AFTER the resumed snapshot belong to the
+        # crashed run — drop their manifest entries (the re-run overwrites
+        # the same versions, so readers never see torn/stale rounds)
+        for name in self.OUTPUT_TABLES:
+            self.catalog.truncate_after(name, self.round_no)
 
     def run(self, max_rounds: int | None = None) -> None:
         if self.domains is None:

@@ -69,6 +69,62 @@ def repartition_frontier(frontier: DataFrame, n_partitions: int | None = None,
     ).drop("host_salt")
 
 
+def bucketed_seq(
+    df: DataFrame,
+    dense_col: str,
+    order_cols: list,
+    out_col: str,
+    start: int = 1,
+    width: int = 1024,
+) -> DataFrame:
+    """Scale-safe global row numbering (two-pass partition-offset pattern).
+
+    Replaces ``row_number().over(Window.orderBy(...))`` — which forces ALL
+    rows into a single partition — for orderings whose leading key
+    ``dense_col`` is a bounded positive integer (here: ``fetch_seq``,
+    which is ≤ MAX_URL_SELECT by construction).
+
+    Pass 1: rows are bucketed by ``(dense_col - 1) // width`` — buckets are
+    contiguous, data-independent ranges of the total order, so no sampling
+    is involved and the result is deterministic across parallelism.  A
+    keyed window numbers rows within each bucket.
+    Pass 2: per-bucket counts (O(max_url_select / width) rows — tens, not
+    millions) get cumulative offsets via a window over the tiny counts
+    relation, broadcast-joined back.  Everything stays in ONE lazy plan —
+    no driver collect, no extra Spark job; the only single-partition window
+    runs over the bucket-count rows, whose cardinality is bounded by
+    max(dense_col) / width.
+
+    ``order_cols`` must start with ``dense_col`` and be a total order.
+    Output: ``out_col = start + global_rank - 1``.
+    """
+    from pyspark.sql import Window
+
+    bucketed = df.withColumn(
+        "_bseq_bucket", ((F.col(dense_col) - 1) / width).cast("int")
+    )
+    w = Window.partitionBy("_bseq_bucket").orderBy(*order_cols)
+    local = bucketed.withColumn("_bseq_lrn", F.row_number().over(w))
+    off_w = (
+        Window.orderBy("_bseq_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("_bseq_bucket")
+        .agg(F.count("*").alias("_bseq_n"))
+        .withColumn("_bseq_off", F.coalesce(F.sum("_bseq_n").over(off_w), F.lit(0)))
+        .drop("_bseq_n")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bseq_bucket")
+        .withColumn(
+            out_col,
+            (F.lit(start) + F.col("_bseq_off") + F.col("_bseq_lrn") - 1).cast("long"),
+        )
+        .drop("_bseq_bucket", "_bseq_lrn", "_bseq_off")
+    )
+
+
 def partition_sizes(df: DataFrame) -> list[int]:
     """Row count per partition (diagnostic for skew tests/bench)."""
     return [

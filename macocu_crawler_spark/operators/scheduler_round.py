@@ -16,8 +16,9 @@ Reference semantics (SURVEY.md §2.6 O1-O7):
 Scale notes: the per-domain pick is one shuffle by (scheme, host) — the
 same partitioning the frontier table is bucketed by, so with a bucketed
 frontier this is shuffle-free.  The global ordered limit is a TopK
-(TakeOrderedAndProject), driver-light at k=30k.  The final global
-row_number for fetch_seq runs over k rows, not the frontier.
+(TakeOrderedAndProject), driver-light at k=30k, applied BEFORE the
+fetch_seq numbering — the final global row_number runs over the ≤k
+surviving rows, never over the frontier.
 """
 
 from __future__ import annotations
@@ -128,10 +129,14 @@ def select_urls(
     cand = cand.withColumn("ip_rn", F.row_number().over(ip_w)).filter(
         F.col("ip_rn") <= params.ip_cap
     )
+    # O4 ordered global cap: TopK FIRST (TakeOrderedAndProject — parallel
+    # per-partition partial sort, driver-light k-row merge), THEN number the
+    # ≤ max_url_select survivors.  The numbering window therefore runs over
+    # the bounded fetch batch, never over the frontier.
+    capped = cand.orderBy(*order).limit(params.max_url_select)
     fetch_w = Window.orderBy(*order)
     selected = (
-        cand.withColumn("fetch_seq", F.row_number().over(fetch_w))
-        .filter(F.col("fetch_seq") <= params.max_url_select)
+        capped.withColumn("fetch_seq", F.row_number().over(fetch_w))
         .withColumn(
             "url",
             F.concat(

@@ -107,5 +107,14 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"table {name} has no committed versions in {self.root}")
         return spark.read.parquet(*paths)
 
+    def truncate_after(self, name: str, version: int) -> None:
+        """Drop committed versions newer than `version` (resume discards
+        appends made by a crashed run past its last snapshot)."""
+        manifest = self._load_manifest(name)
+        manifest["versions"] = [
+            v for v in manifest["versions"] if v["version"] <= version
+        ]
+        self._store_manifest(name, manifest)
+
     def metrics(self, name: str) -> list[dict[str, Any]]:
         return self._load_manifest(name)["versions"]
