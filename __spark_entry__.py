@@ -391,7 +391,8 @@ def q_langid_trigram(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
-    return similarity.ann_lsh_topk(_emb(spark, sf))
+    # rows carry their own quality gate: per-query recall@k vs brute force
+    return similarity.ann_lsh_with_recall(_emb(spark, sf))
 
 
 # ---------------------------------------------------------------------------
@@ -425,6 +426,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_simhash": lambda s, sf: dedup_text.simhash(_t(s, sf, "documents")),
         "dedup_simhash_groups": lambda s, sf: dedup_text.simhash_dup_groups(
+            _t(s, sf, "documents")
+        ),
+        "dedup_simhash64": lambda s, sf: dedup_text.simhash64(_t(s, sf, "documents")),
+        "dedup_simhash64_pairs": lambda s, sf: dedup_text.simhash64_dup_pairs(
             _t(s, sf, "documents")
         ),
         "dedup_ngram_jaccard": lambda s, sf: dedup_text.ngram_jaccard_pairs(
@@ -559,6 +564,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup_text.MINHASH_PAIRS_ORACLE,
         "dedup_simhash": dedup_text.SIMHASH_ORACLE,
         "dedup_simhash_groups": dedup_text.SIMHASH_GROUPS_ORACLE,
+        "dedup_simhash64": dedup_text.SIMHASH64_ORACLE,
+        "dedup_simhash64_pairs": dedup_text.SIMHASH64_PAIRS_ORACLE,
         "dedup_ngram_jaccard": dedup_text.ngram_jaccard_oracle(threshold=0.5),
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

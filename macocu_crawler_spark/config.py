@@ -37,6 +37,10 @@ MAX_CONNS_PER_IP_PER_ROUND = HOST_CONN_INTERVAL // IP_CONN_INTERVAL
 MAX_URL_SELECT = 30 * 1000     # config.py:98 (non-BIG_CRAWLING)
 MAX_URL_SELECT_PER_DOMAIN = 20 # config.py:269
 MAX_HOST_URL_QUEUE = 200       # config.py:153
+# reference UPDATE_WAITING_QUEUE_PERIOD (3600 s, config.py:146) expressed in
+# rounds of HOST_CONN_INTERVAL (20 s): waiting URLs rotate back into the
+# per-host downloader queue every this many rounds
+WAITING_ROTATE_ROUNDS = 3600 // HOST_CONN_INTERVAL
 MAX_DOMAIN_DISTANCE = 50       # config.py:222
 MAX_DOMAIN_NEW_PATHS = 100     # config.py:275
 # domain sweep priority buckets, disabled by default (config.py:224-233)

@@ -61,6 +61,7 @@ from .operators.domains import (
     robots_allowed_udf,
 )
 from .operators.extract import extract_documents
+from .operators.frontier_queue import sweep_frontier
 from .operators.partitioning import bucketed_seq
 from .operators.scheduler_round import select_urls
 from .simulator import CrawlParams
@@ -111,6 +112,11 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("path_sanitised", T.StringType()),
         T.StructField("batch_id", T.LongType()),
         T.StructField("seq", T.LongType()),
+        # O2/O7 downloader-queue model (operators/frontier_queue.py)
+        T.StructField("status", T.StringType()),
+        T.StructField("q_round", T.IntegerType()),
+        T.StructField("q_phase", T.IntegerType()),
+        T.StructField("q_rank", T.IntegerType()),
     ]
 )
 URL_SEEN_SCHEMA = T.StructType(
@@ -258,6 +264,10 @@ class CrawlDriver:
         self.round_no += 1
         r = self.round_no
         domains = apply_yield_rule(self.domains, self.params)
+        # O7 rotation + O2 sweep: move waiting→queue and pending→queue
+        # (per-host keyed windows; the sweep result is this round's frontier,
+        # pinned once — it feeds both selection and the end-of-round update)
+        self.frontier = self._pin(sweep_frontier(self.frontier, domains, r, self.params))
         selected = select_urls(
             self.frontier, domains, self.params,
             robot_redirects=self.robot_redirects if self._has_redir_robots else None,
@@ -605,9 +615,11 @@ class CrawlDriver:
         (one version per round) — nothing to copy."""
         for name in self.STATE_TABLES:
             df = getattr(self, name)
-            if self.catalog.latest_version(name) != self.round_no or name not in (
-                "frontier", "domains", "robot_redirects"
-            ):
+            # a table whose latest committed version IS this round was just
+            # written (per-round _pin_durable or the periodic compaction) and
+            # the in-memory df reads from that snapshot — rewriting it would
+            # overwrite the parquet files underneath their own scan
+            if self.catalog.latest_version(name) != self.round_no:
                 self.catalog.write(
                     name, df, version=self.round_no,
                     metrics={"round": self.round_no},

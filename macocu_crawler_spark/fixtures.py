@@ -412,6 +412,66 @@ def compute_oracle_columns(web: FixtureWeb) -> None:
         p["lang"] = row["lang"]
 
 
+def build_queue_web(seed: int = 47) -> FixtureWeb:
+    """Fixture web where the O2/O7 queue model BINDS (frontier_queue.py):
+
+    - q.no: one hub page linking 30 paths — with scaled-down test caps
+      (max_url_select_per_domain=5, max_host_url_queue=8,
+      waiting_rotate_every=2) the per-sweep pull, the queue-cap overflow
+      and the waiting rotation all fire on the same code paths the
+      reference runs with 20/200
+    - late.no: a long path is queued before a shorter path is discovered —
+      shows O2 batching (the short path must NOT jump the queue)
+    """
+    rng = random.Random(seed)
+    web = FixtureWeb()
+
+    def no_pars(n):
+        return _paragraphs(rng, NO_SENTENCES, n)
+
+    q_paths = ["/sak-%02d-%s.html" % (i, "x" * (i % 5)) for i in range(30)]
+    _add_page(
+        web, "http://q.no/hub.html",
+        render_page(rng, "Køen", no_pars(2),
+                    [(p, "sak nummer %d her" % i) for i, p in enumerate(q_paths)]),
+        HDR,
+    )
+    for i, p in enumerate(q_paths):
+        _add_page(web, f"http://q.no{p}",
+                  render_page(rng, f"Sak {i}", no_pars(2), []), HDR)
+    # late.no: the hub queues a short reveal page AND a long blocker page;
+    # fetching the reveal page discovers /s.html (shortest) AFTER the
+    # blocker is queued — under O2 FIFO the blocker fetches before /s.html
+    # (the pre-O2 re-sorting model would fetch /s.html first)
+    _add_page(
+        web, "http://late.no/hub.html",
+        render_page(rng, "Sent", no_pars(2),
+                    [("/x1.html", "den avslørende siden"),
+                     ("/mellomlang-side-her.html", "den lange siden")]),
+        HDR,
+    )
+    _add_page(
+        web, "http://late.no/x1.html",
+        render_page(rng, "Avslører", no_pars(2), [("/s.html", "kort sti her")]),
+        HDR,
+    )
+    _add_page(
+        web, "http://late.no/mellomlang-side-her.html",
+        render_page(rng, "Blokkerer", no_pars(2), []), HDR,
+    )
+    _add_page(web, "http://late.no/s.html",
+              render_page(rng, "Kort", no_pars(2), []), HDR)
+    web.seeds = ["http://q.no/hub.html", "http://late.no/hub.html"]
+    for host, ip in (("q.no", "10.1.0.1"), ("late.no", "10.1.0.2")):
+        web.robots.append({"scheme": "http", "host": host, "state": "EMPTY", "body": ""})
+        web.dns.append({"scheme": "http", "host": host, "ip": ip})
+    ips = web.dns_map()
+    for idx, p in enumerate(web.pages):
+        p["warc_ts"] = BASE_TS + dt.timedelta(seconds=idx)
+        p["ip"] = ips.get(p["url"].split("/")[2], "10.9.9.9")
+    return web
+
+
 def build_bench_web(
     n_hosts: int = 500, pages_per_host: int = 20, seed: int = 42
 ) -> FixtureWeb:

@@ -19,7 +19,6 @@ from __future__ import annotations
 import posixpath
 import re
 import urllib.parse
-from html import escape as _html_escape
 from os.path import dirname
 
 import pandas as pd
@@ -109,8 +108,18 @@ def url_join_rel_norm(src_url: str, target_url: str) -> str:
 
 def clean_xml_val(value: str) -> str:
     """XML-escape + whitespace collapse + backslash strip.
-    util/__init__.py:302-306."""
-    return SPACE_RE.sub(" ", _html_escape(value, quote=True)).replace("\\", "")
+    util/__init__.py:302-306 — replicated literally: the reference strips
+    first, does NOT escape '&', escapes ' as &apos; (html.escape would use
+    &#x27; and add &amp;), collapses whitespace after escaping, and drops
+    backslashes last.  Byte contract (prevert attrs) — do not 'fix'."""
+    escaped = (
+        value.strip()
+        .replace('"', "&quot;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace("'", "&apos;")
+    )
+    return SPACE_RE.sub(" ", escaped).replace("\\", "")
 
 
 BLOGSPOT_TLD_RE = re.compile(r"blogspot\.../")

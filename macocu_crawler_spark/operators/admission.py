@@ -160,6 +160,12 @@ def admit_links(
             "scheme", "host", "path", "path_sanitised",
             F.lit(round_no).cast("long").alias("batch_id"),
             "seq",
+            # O2/O7 queue model: new rows are PENDING until a sweep pulls
+            # them into the per-host downloader queue (frontier_queue.py)
+            F.lit("pending").alias("status"),
+            F.lit(None).cast("int").alias("q_round"),
+            F.lit(None).cast("int").alias("q_phase"),
+            F.lit(None).cast("int").alias("q_rank"),
         )
     )
     return admitted, new_url_seen, domains_updated

@@ -1,0 +1,126 @@
+"""O2/O7 frontier queue model: pending → per-host downloader queue → fetch.
+
+Reference semantics:
+- O2 (scheduler.py:126-128, domain.py:169-209): per sweep — one per round —
+  each ready domain moves ≤ max_url_select_per_domain of its shortest
+  pending paths (order: length(path), batch_id, seq) into the downloader
+  queue.  Fetches then take the queue head FIFO, so a shorter path admitted
+  later does NOT jump ahead of already-queued paths.
+- O7 (crawl.py:134-141): the per-entry cap check — a host already holding
+  > max_host_url_queue queued URLs sends the entry to the waiting FIFO
+  instead (the entry is still consumed from pending, exactly as the
+  reference consumes it from the domain deque).
+- Waiting rotation (crawl.py:160-217): every waiting_rotate_every rounds,
+  per-host waiting prefixes move back into the queue up to the cap
+  headroom.  Rotation precedes the sweep, so the sweep's cap check sees the
+  post-rotation queue.
+
+Frontier rows carry ``status ∈ {pending, queued, waiting}`` and the queue
+order key ``(q_round, q_phase, q_rank)``: the round the row entered its
+status, phase 0 = rotated-in / 1 = swept-in, rank = per-host position
+within the phase.  Every window here partitions by (scheme, host) — the
+same key the frontier is bucketed by, so at scale these are co-partitioned
+single-shuffle (or shuffle-free) operations; nothing global.
+
+The exact round model is defined in simulator.CrawlSimulator's docstring;
+this module and the simulator change together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BY_HOST = ["scheme", "host"]
+
+FRONTIER_COLS = [
+    "scheme", "host", "path", "path_sanitised", "batch_id", "seq",
+    "status", "q_round", "q_phase", "q_rank",
+]
+
+
+def _as_frontier(df: DataFrame) -> DataFrame:
+    return df.select(*FRONTIER_COLS)
+
+
+def _with_queue_key(df: DataFrame, round_no: int, phase: int, rank_col: str) -> DataFrame:
+    return (
+        df.withColumn("status", F.lit("queued"))
+        .withColumn("q_round", F.lit(round_no))
+        .withColumn("q_phase", F.lit(phase))
+        .withColumn("q_rank", F.col(rank_col).cast("int"))
+    )
+
+
+def sweep_frontier(
+    frontier: DataFrame, domains: DataFrame, round_no: int, params
+) -> DataFrame:
+    """One round's rotation + sweep over the status'd frontier."""
+    cap = params.max_host_url_queue
+    k = params.max_url_select_per_domain
+
+    pending = frontier.filter(F.col("status") == "pending")
+    queued = frontier.filter(F.col("status") == "queued")
+    waiting = frontier.filter(F.col("status") == "waiting")
+
+    # --- waiting rotation (phase 0) ---
+    rotate = bool(params.waiting_rotate_every) and (
+        round_no % params.waiting_rotate_every == 0
+    )
+    if rotate:
+        qcounts = queued.groupBy(*BY_HOST).agg(F.count("*").alias("n_queued"))
+        w_wait = Window.partitionBy(*BY_HOST).orderBy("q_round", "q_phase", "q_rank")
+        ranked = (
+            waiting.withColumn("wrn", F.row_number().over(w_wait))
+            .join(qcounts, BY_HOST, "left")
+            .withColumn(
+                "headroom",
+                F.lit(cap + 1) - F.coalesce("n_queued", F.lit(0)),
+            )
+        )
+        promoted = _as_frontier(
+            _with_queue_key(ranked.filter(F.col("wrn") <= F.col("headroom")),
+                            round_no, 0, "wrn")
+        )
+        waiting = _as_frontier(ranked.filter(F.col("wrn") > F.col("headroom")))
+        queued = queued.unionByName(promoted)
+
+    # --- sweep (phase 1) ---
+    ready = domains.filter(
+        ~F.col("bad")
+        & F.col("ip").isNotNull()
+        & F.col("robot_state").isin("ready", "empty")
+    ).select(*BY_HOST, F.lit(True).alias("_ready"))
+    w_pend = Window.partitionBy(*BY_HOST).orderBy(
+        F.length("path").asc(), F.col("batch_id").asc(), F.col("seq").asc()
+    )
+    pend_r = pending.join(ready, BY_HOST, "left").withColumn(
+        "prn", F.row_number().over(w_pend)
+    )
+    pulled = pend_r.filter(F.col("_ready") & (F.col("prn") <= k))
+    pending_left = _as_frontier(
+        pend_r.filter(F.col("_ready").isNull() | (F.col("prn") > k))
+    )
+    qcounts2 = queued.groupBy(*BY_HOST).agg(F.count("*").alias("n_queued2"))
+    pulled = pulled.join(qcounts2, BY_HOST, "left").withColumn(
+        "nq", F.coalesce("n_queued2", F.lit(0))
+    )
+    # sequential cap semantics: entry i enqueues iff nq + (i-1) <= cap
+    fits = F.col("nq") + F.col("prn") - 1 <= cap
+    enqueued = _as_frontier(
+        _with_queue_key(pulled.filter(fits), round_no, 1, "prn")
+    )
+    overflow = _as_frontier(
+        pulled.filter(~fits)
+        .withColumn("status", F.lit("waiting"))
+        .withColumn("q_round", F.lit(round_no))
+        .withColumn("q_phase", F.lit(1))
+        .withColumn("q_rank", F.col("prn").cast("int"))
+    )
+    return (
+        pending_left
+        .unionByName(_as_frontier(queued))
+        .unionByName(enqueued)
+        .unionByName(waiting)
+        .unionByName(overflow)
+    )

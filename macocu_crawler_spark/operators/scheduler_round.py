@@ -75,11 +75,16 @@ def select_urls(
     ready = live.filter(F.col("robot_state").isin("ready", "empty")).select(
         "scheme", "host", "ip", "distance"
     )
+    # O2/O6: fetch the per-host downloader-queue HEAD — FIFO by the queue
+    # entry key assigned at sweep/rotation time (frontier_queue.py); the
+    # (len(path), batch, seq) order was applied when the row was PULLED
+    # into the queue, exactly as the reference pops its sorted deque
     per_domain = Window.partitionBy("scheme", "host").orderBy(
-        F.length("path").asc(), F.col("batch_id").asc(), F.col("seq").asc()
+        F.col("q_round").asc(), F.col("q_phase").asc(), F.col("q_rank").asc()
     )
     page_cand = (
-        frontier.join(ready, ["scheme", "host"])
+        frontier.filter(F.col("status") == "queued")
+        .join(ready, ["scheme", "host"])
         .withColumn("rn", F.row_number().over(per_domain))
         .filter(F.col("rn") == 1)
         .select(

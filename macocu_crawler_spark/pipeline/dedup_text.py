@@ -205,6 +205,127 @@ SIMHASH_GROUPS_ORACLE = (
 
 
 # ---------------------------------------------------------------------------
+# SimHash-64: corpus-scale near-dup (4 × 16-bit bands, banded Hamming join)
+# ---------------------------------------------------------------------------
+# 16-bit SimHash collides everything at corpus scale; the production form is
+# 64 bits split into 4 bands of 16 — candidates share ≥1 band (equi-join on
+# (band, band_val); a doc pair within Hamming distance 3 ALWAYS shares at
+# least one exact band by pigeonhole), then the full 64-bit Hamming distance
+# verifies.  The shuffle key is (band, band_val) — bounded fan-out, never
+# all-pairs.  Bit source: md5(tok)||md5('s:'||tok) = 64 hex chars; bit j =
+# parity of hex char j (portable: identical in Spark and DuckDB).
+
+SIMHASH64_BANDS = 4
+SIMHASH64_BAND_BITS = 16
+
+
+def simhash64_bands(documents: DataFrame) -> DataFrame:
+    """(doc_id, band, band_val): 4 × 16-bit SimHash bands per doc."""
+    tok = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    h = F.concat(F.md5("tok"), F.md5(F.concat(F.lit("s:"), F.col("tok"))))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        h.alias("h"),
+    ).withColumn(
+        "contrib",
+        (F.ascii(F.substring(F.col("h"), F.col("j") + 1, 1)) % 2) * 2 - 1,
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") >= 0, 1).otherwise(0))
+        .withColumn("band", (F.col("j") / SIMHASH64_BAND_BITS).cast("int"))
+        .withColumn(
+            "w", F.pow(F.lit(2), F.col("j") % SIMHASH64_BAND_BITS).cast("long")
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.sum(F.col("bit") * F.col("w")).alias("band_val"))
+    )
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash_hex): the 64-bit fingerprint as 16 hex chars
+    (band 0 first) — avoids signed-long overflow portably."""
+    bands = simhash64_bands(documents)
+    per_band = [
+        F.sum(
+            F.when(F.col("band") == b, F.col("band_val"))
+        ).alias(f"b{b}")
+        for b in range(SIMHASH64_BANDS)
+    ]
+    wide = bands.groupBy("doc_id").agg(*per_band)
+    hexes = [F.lpad(F.lower(F.hex(F.col(f"b{b}"))), 4, "0") for b in range(SIMHASH64_BANDS)]
+    return wide.select("doc_id", F.concat(*hexes).alias("simhash_hex"))
+
+
+def simhash64_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-dup pairs within 64-bit Hamming
+    distance ≤ max_hamming, found via the banded equi-join (complete for
+    max_hamming ≤ 3 by pigeonhole over 4 bands)."""
+    bands = simhash64_bands(documents)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", F.col("band_val").alias("va"))
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", F.col("band_val").alias("vb"))
+    return (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+_SIMHASH64_BANDS_SQL = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), bits AS (
+  SELECT doc_id, j,
+         CASE WHEN sum((ascii(substr(md5(tok) || md5('s:' || tok), j + 1, 1)) % 2) * 2 - 1) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM tok, range(0, 64) AS r(j)
+  GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(j // 16 AS INT) AS band,
+         CAST(sum(bit * (2 ** (j % 16))) AS BIGINT) AS band_val
+  FROM bits GROUP BY doc_id, CAST(j // 16 AS INT)
+)"""
+
+SIMHASH64_ORACLE = (
+    "WITH " + _SIMHASH64_BANDS_SQL + """
+SELECT doc_id,
+       string_agg(printf('%04x', band_val), '' ORDER BY band) AS simhash_hex
+FROM bands GROUP BY doc_id
+"""
+)
+
+SIMHASH64_PAIRS_ORACLE = (
+    "WITH " + _SIMHASH64_BANDS_SQL + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(bit_count(xor(x.band_val, y.band_val))) AS hamming
+  FROM cand c
+  JOIN bands x ON x.doc_id = c.doc_a
+  JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard within a blocking key
 # ---------------------------------------------------------------------------
 

@@ -10,7 +10,18 @@ this simulator and the Spark driver implement:
   ``ip_cap`` domains per IP per round (IP_CONN_INTERVAL grouping)
 - a domain's first fetch is /robots.txt (domain.py:173-175); robots arrive
   at the end of the same round
-- per-domain URL order: (len(path), admission order) — domain.py:155
+- per-domain URL order: (len(path), admission order) — domain.py:155 — is
+  the PENDING order; each round one sweep moves ≤ max_url_select_per_domain
+  pending paths into the per-host downloader QUEUE (O2, scheduler.py:126-128),
+  enqueueing while the queue holds ≤ max_host_url_queue entries and sending
+  overflow to a per-host waiting FIFO (O7, crawl.py:134-141); waiting URLs
+  rotate back into the queue every waiting_rotate_every rounds
+  (crawl.py:160-217).  Fetches take the queue head (FIFO) — so a shorter
+  path admitted later does NOT jump ahead of already-queued paths, exactly
+  as in the reference.  (The reference's under-politeness-contention
+  requeue-to-back churn is poll-timing-dependent and is replaced by the
+  stable per-host FIFO, as is the global byte-chunked waiting-file rotation,
+  which is per-host FIFO-equivalent.)
 - domain sweep order: (hostname-length bucket, distance bucket, host,
   scheme) — scheduler.py:110-140; dict-order nondeterminism of the
   reference is replaced by the host/scheme tie-break, which is the total
@@ -51,7 +62,15 @@ class CrawlParams:
     max_rounds: int = 30
     max_url_select: int = config.MAX_URL_SELECT
     ip_cap: int = config.MAX_CONNS_PER_IP_PER_ROUND
+    # O2: ≤ this many paths move pending→downloader-queue per domain per
+    # sweep (reference scheduler.py:126-128, MAX_URL_SELECT_PER_DOMAIN)
+    max_url_select_per_domain: int = config.MAX_URL_SELECT_PER_DOMAIN
+    # O7: per-host downloader-queue cap; overflow → waiting
+    # (reference crawl.py:134-141)
     max_host_url_queue: int = config.MAX_HOST_URL_QUEUE
+    # waiting URLs rotate back every this many rounds (crawl.py:160-217,
+    # UPDATE_WAITING_QUEUE_PERIOD in rounds)
+    waiting_rotate_every: int = config.WAITING_ROTATE_ROUNDS
     min_docs_downloaded: int = config.MIN_DOCS_DOWNLOADED
     min_bytes_downloaded: int = config.MIN_BYTES_DOWNLOADED
     yield_coeff: float = 0.002          # config.py:246-248
@@ -84,6 +103,11 @@ class SimDomain:
     robot_state: str = "none"  # none | init | ready | fail | empty
     rules: robotskit.RobotsRules | None = None
     pending: list[tuple[str, int, int]] = field(default_factory=list)  # (path, batch, seq)
+    # O2/O7 downloader-queue model (crawl.py q_urls + urls_waiting):
+    # queue: FIFO of paths pulled from pending (≤ max_url_select_per_domain
+    # per sweep); waiting: per-host FIFO of cap-overflow paths
+    queue: list[str] = field(default_factory=list)
+    waiting: list[str] = field(default_factory=list)
     count_downloaded: int = 0
     count_cleaned: int = 0
     bytes_downloaded: int = 0
@@ -252,12 +276,54 @@ class CrawlSimulator:
             return False
         return True
 
+    # -- waiting rotation + sweep (O2/O7) ---------------------------------------
+    def _rotate_waiting(self) -> None:
+        """crawl.py:160-217 update_url_queue, per-host form: move waiting
+        URLs (FIFO) back into the downloader queue up to the cap headroom.
+        The reference's global byte-chunked file rotation is a RAM bound,
+        not an ordering device — per host the FIFO order is identical."""
+        cap = self.params.max_host_url_queue
+        for key in sorted(self.domains, key=lambda k: (k[1], k[0])):
+            dom = self.domains[key]
+            if dom.bad or not dom.waiting:
+                continue
+            headroom = cap + 1 - len(dom.queue)  # enqueue allowed while len<=cap
+            while headroom > 0 and dom.waiting:
+                dom.queue.append(dom.waiting.pop(0))
+                headroom -= 1
+
+    def _sweep(self) -> None:
+        """scheduler.py:126-128 + domain.py:169-209: each ready domain moves
+        ≤ max_url_select_per_domain paths pending→queue per sweep (one sweep
+        per round); crawl.py:134-141 cap check per entry — overflow goes to
+        the per-host waiting FIFO, NOT back to pending."""
+        cap = self.params.max_host_url_queue
+        k = self.params.max_url_select_per_domain
+        for key in sorted(self.domains, key=lambda k_: (k_[1], k_[0])):
+            dom = self.domains[key]
+            if dom.bad or dom.ip is None or dom.robot_state not in ("ready", "empty"):
+                continue
+            pulled, dom.pending = dom.pending[:k], dom.pending[k:]
+            for path, _batch, _seq in pulled:
+                if len(dom.queue) <= cap:
+                    dom.queue.append(path)
+                else:
+                    dom.waiting.append(path)
+
     # -- one round --------------------------------------------------------------
     def run_round(self, round_no: int) -> int:
         # evaluate efficiency (update_domains, scheduler.py:503-526)
         for dom in self.domains.values():
             if not dom.bad:
                 self._is_efficient(dom)
+        # O7 waiting rotation, then the O2 sweep (rotation first: the sweep's
+        # cap check sees the post-rotation queue)
+        if (
+            self.params.waiting_rotate_every
+            and round_no % self.params.waiting_rotate_every == 0
+        ):
+            self._rotate_waiting()
+        self._sweep()
         # select: robots-redirect fetches first (appendleft priority,
         # crawl.py:413-415), then one URL per eligible domain, ordered
         occupied: set[tuple[str, str]] = set()
@@ -289,8 +355,8 @@ class CrawlSimulator:
                 continue
             if dom.robot_state == "none":
                 candidates.append((dom, ROBOT_PATH, True))
-            elif dom.robot_state in ("ready", "empty") and dom.pending:
-                candidates.append((dom, dom.pending[0][0], False))
+            elif dom.robot_state in ("ready", "empty") and dom.queue:
+                candidates.append((dom, dom.queue[0], False))
         candidates.sort(
             key=lambda c: (
                 self.params.bucket_key(c[0].host, c[0].distance),
@@ -330,7 +396,7 @@ class CrawlSimulator:
                 dom.robot_state = "init"
                 self._handle_robots_fetch(dom, dom.scheme, dom.host, 0)
                 continue
-            dom.pending.pop(0)
+            dom.queue.pop(0)
             if url in self.redirects:
                 redir_url = self.redirects[url]
                 parts, reason = urlkit.url_split_and_check_parts(redir_url, dom.host)

@@ -69,7 +69,8 @@ def test_every_query_runs_and_oracles_cover(entrymod):
         "q_union_dedup", "q_running_min", "q_doc_len_buckets", "q_date_format",
         "q_regexp_filter", "q_events_tumbling", "q_url_admission",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_simhash_groups", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "dedup_simhash_groups", "dedup_simhash64", "dedup_simhash64_pairs",
+        "dedup_ngram_jaccard", "dedup_embedding_cosine",
         "ann_bruteforce_topk", "text_token_stats", "text_quality_scores",
         "doc_fingerprints",
     ],

@@ -191,8 +191,13 @@ class TestHeaderExtracts:
 
 class TestCleanUrlDisplay:
     def test_xml_escape_and_truncate(self):
+        # NB: the reference's clean_xml_val (util/__init__.py:302-306) does
+        # NOT escape '&' — only " < > ' (differentially verified in
+        # test_reference_differential.py)
         out = urlkit.clean_url_display("HTTP", "Example.NO", "/a&b")
-        assert out == "http://example.no/a&amp;b"
+        assert out == "http://example.no/a&b"
+        out2 = urlkit.clean_url_display("http", "a.no", "/x\"<'>.html")
+        assert out2 == "http://a.no/x&quot;&lt;&apos;&gt;.html"
 
     def test_blogspot_squash(self):
         out = urlkit.clean_url_display("http", "x.blogspot.cz", "/p")
