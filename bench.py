@@ -197,6 +197,11 @@ def run_scheduler_microbench(n_urls: int = 2_000_000, n_hosts: int = 50_000) -> 
                 F.concat(F.lit("/p"), F.col("id"), F.lit(".html")).alias("path_sanitised"),
                 (F.col("id") % 7).alias("batch_id"),
                 F.col("id").alias("seq"),
+                # O2/O7 queue model: frontier rows carry status + queue keys
+                F.lit("queued").alias("status"),
+                F.lit(1).alias("q_round"),
+                F.lit(1).alias("q_phase"),
+                (F.col("id") / n_hosts).cast("int").alias("q_rank"),
             )
             .repartition(CPUS * 3, "host")
             .cache()
@@ -234,6 +239,57 @@ def run_scheduler_microbench(n_urls: int = 2_000_000, n_hosts: int = 50_000) -> 
             "selected": n_sel,
             "sec": round(best, 2),
             "frontier_rows_per_sec": round(n_urls / best, 0),
+        }
+    finally:
+        spark.stop()
+
+
+def run_skew_bench(n_hot: int = 1_000_000, n_cold_hosts: int = 2000,
+                   rows_per_cold: int = 100) -> dict:
+    """Hot-host skew: one host with 10^6 frontier rows among 2000 cold
+    hosts.  Without salting, host-hash partitioning puts the whole hot
+    queue in ONE partition; repartition_frontier spreads it across salt
+    shards.  Reports the max-partition share both ways (VERDICT r1 #8)."""
+    import pyspark.sql.functions as F
+
+    from macocu_crawler_spark.operators.partitioning import (
+        partition_sizes,
+        repartition_frontier,
+    )
+
+    spark = make_spark(CPUS)
+    try:
+        hot = spark.range(n_hot).select(
+            F.lit("http").alias("scheme"),
+            F.lit("hot.example").alias("host"),
+            F.concat(F.lit("/h"), F.col("id")).alias("path"),
+        )
+        cold = spark.range(n_cold_hosts * rows_per_cold).select(
+            F.lit("http").alias("scheme"),
+            F.concat(F.lit("cold"), F.col("id") % n_cold_hosts).alias("host"),
+            F.concat(F.lit("/c"), F.col("id")).alias("path"),
+        )
+        frontier = hot.unionByName(cold).cache()
+        total = frontier.count()
+        t0 = time.time()
+        unsalted = max(partition_sizes(frontier.repartition(CPUS, "host")))
+        t_unsalted = time.time() - t0
+        t0 = time.time()
+        salted = max(partition_sizes(
+            repartition_frontier(frontier, n_partitions=CPUS, threshold=10_000)
+        ))
+        t_salted = time.time() - t0
+        log(f"skew: max partition {unsalted}/{total} unsalted, "
+            f"{salted}/{total} salted")
+        return {
+            "rows": total,
+            "hot_rows": n_hot,
+            "max_partition_unsalted": unsalted,
+            "max_partition_salted": salted,
+            "max_share_unsalted": round(unsalted / total, 3),
+            "max_share_salted": round(salted / total, 3),
+            "sec_unsalted": round(t_unsalted, 2),
+            "sec_salted": round(t_salted, 2),
         }
     finally:
         spark.stop()
@@ -312,6 +368,7 @@ def main() -> None:
     scaling = run_scaling(pages_dir)
     crawl = run_crawl_rounds(pages_dir)
     scheduler = run_scheduler_microbench()
+    skew = run_skew_bench()
     queries = run_queries()
     controls = run_controls()
     headline = scaling[CPUS]["urls_per_sec"]
@@ -331,6 +388,7 @@ def main() -> None:
         "hardware_ceiling_controls": controls,
         "crawl_rounds": crawl,
         "scheduler_select": scheduler,
+        "hot_host_skew": skew,
     }
     print(json.dumps(out))
 

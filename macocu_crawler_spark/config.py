@@ -22,6 +22,13 @@ TLD_BLACKLIST = r"\.tk$"       # config.py:180
 DOMAIN_BLACKLIST = frozenset()       # config.py:195 (None by default)
 DOMAIN_BLACKLIST_EXACT = frozenset() # config.py:197
 DOMAIN_WHITELIST = frozenset()       # config.py:200
+# FILE variants (reference config.py:183-204): one entry per line, '#'
+# comments; list entries are regex fragments matched at label boundaries
+# (http.py:59-69); exact list is literal hostnames.  Lazily compiled in
+# urlkit._domain_list_files (cache-clear after changing these).
+DOMAIN_BLACKLIST_PATH = None         # config.py:195
+DOMAIN_BLACKLIST_EXACT_PATH = None   # config.py:197
+DOMAIN_WHITELIST_PATH = None         # config.py:200
 EXTRACT_EMPTY_PAGE_INTERNAL_LINKS = True   # config.py:207
 EXTRACT_EMPTY_PAGE_EXTERNAL_LINKS = False  # config.py:210
 CONVERSION_ENABLED = False     # config.py:350 (binary doc conversion off)
@@ -76,6 +83,10 @@ LANGUAGES_ACCEPT = frozenset({"Norwegian"})  # config.py:299
 LANG_DIFF_THRESHOLD_DOC = 0.6            # config.py:307
 LANG_DIFF_THRESHOLD_PAR = 0.95           # config.py:308
 FORCE_ENCODING = None                    # config.py:310
+# use the chared-equivalent byte-trigram detector (functions/charset.py) in
+# the decode ladder when the real chared library is absent — reproduces the
+# reference's chared→meta→utf-8 precedence (process.py:170-214)
+CHARSET_DETECTOR = True
 UNIGRAM_MODELS = False                   # config.py:312 (1-grams for CJK)
 SPACE_SEP_TOKENS = True                  # config.py:315
 
@@ -105,5 +116,6 @@ AGENT = "macocu-spark"  # config.py:108 (crawler identity for robots UA match)
 SHUFFLE_PARTITIONS = 32
 FRONTIER_BUCKETS = 32      # bucket(N, host) partition count for frontier/domains
 HOT_HOST_SALT_THRESHOLD = 10_000  # frontier rows per host before salting kicks in
-HOT_HOST_SALT_FACTOR = 16
+HOT_HOST_SALT_FACTOR = 64  # max shards per hot host (≥ target cluster width
+                           # so one host can occupy every executor)
 ARROW_MAX_RECORDS_PER_BATCH = 2048

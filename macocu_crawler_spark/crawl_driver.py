@@ -62,7 +62,7 @@ from .operators.domains import (
 )
 from .operators.extract import extract_documents
 from .operators.frontier_queue import sweep_frontier
-from .operators.partitioning import bucketed_seq
+from .operators.partitioning import bucketed_seq, repartition_frontier
 from .operators.scheduler_round import select_urls
 from .simulator import CrawlParams
 
@@ -537,7 +537,16 @@ class CrawlDriver:
             ["scheme", "host"],
             "left_anti",
         )
-        self.frontier = self._pin_durable("frontier", frontier.unionByName(new_rows))
+        # hot-host salting (north rule): the committed frontier layout
+        # spreads any host above the threshold across salt shards so no
+        # partition carries a whole hot domain; cold webs pay only a
+        # broadcast of the (usually empty) salt-factor relation — same plan,
+        # no extra job (operators/partitioning.py)
+        n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        self.frontier = self._pin_durable(
+            "frontier",
+            repartition_frontier(frontier.unionByName(new_rows), n_partitions=n_parts),
+        )
         self.url_seen = self.url_seen.unionByName(self._pin(new_seen))
         self.domains = self._pin_durable("domains", domains2)
         docs.unpersist()

@@ -240,12 +240,21 @@ def build_web(scale: int = 1, seed: int = 42) -> FixtureWeb:
         ("\n\n".join(" ".join(NO_SENTENCES[i:i + 3]) for i in (0, 3, 6))).encode("utf-8"),
         b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n",
     )
-    # undeclared legacy encoding: iso-8859-1 bytes with NO meta charset →
-    # the decode ladder ends at strict utf-8 and fails (process.py:213-214)
+    # undeclared legacy encoding: iso-8859-1 bytes with NO meta charset —
+    # recovered by the chared-equivalent detector (functions/charset.py),
+    # exactly as the reference's chared branch would (process.py:195-206)
     _add_page(
         web, "http://a.no/knekt.html",
         ("<html><head><title>Ødelagt</title></head><body><p>"
          + " ".join(NO_SENTENCES[:3]) + "</p></body></html>").encode("iso-8859-1"),
+        HDR,
+    )
+    # LYING meta: claims utf-8, bytes are iso-8859-1 — detector precedence
+    # (chared→meta→utf-8) must override the meta
+    _add_page(
+        web, "http://a.no/lyver.html",
+        ('<html><head><meta charset="utf-8"><title>Løgn</title></head><body><p>'
+         + " ".join(NO_SENTENCES[3:6]) + "</p></body></html>").encode("iso-8859-1"),
         HDR,
     )
     _add_page(
@@ -262,7 +271,8 @@ def build_web(scale: int = 1, seed: int = 42) -> FixtureWeb:
         [("artikkel3.html", "neste artikkel i serien"),
          ("/mt.html", "den oversatte siden"),
          ("/liten.html", "en bitteliten side"),
-         ("/latin1.html", "gammel tegnkoding")],
+         ("/latin1.html", "gammel tegnkoding"),
+         ("/lyver.html", "siden som lyver om tegnsett")],
         nav_links=["/", "/arkiv.html"], heading="Om artikkel 2",
         nofollow=["/hemmelig-intern.html"],
     )

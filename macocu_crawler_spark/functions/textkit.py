@@ -25,7 +25,7 @@ from functools import lru_cache
 from importlib import resources
 
 from .. import config
-from . import boilerplate, urlkit
+from . import boilerplate, charset, urlkit
 from .trigram import TrigramModel, lang_difference, model_class
 
 try:  # pragma: no cover - not installed in this environment
@@ -106,16 +106,22 @@ def html_decode(html_bs: bytes, lang: str) -> tuple[str, str | None, str | None]
     chared_encoding = None
     if _HAVE_CHARED:  # pragma: no cover
         candidates = _chared_model(lang).classify(html_bs)
-        if candidates:
+    elif config.CHARSET_DETECTOR:
+        # chared-equivalent byte-trigram detector (functions/charset.py) —
+        # same precedence: detector beats a LYING <meta> charset
+        candidates = charset.detect_encodings(html_bs)
+    else:
+        candidates = []
+    if candidates:
+        try:
+            chared_encoding = codecs.lookup(candidates[0]).name
+        except LookupError:
+            pass
+        else:
             try:
-                chared_encoding = codecs.lookup(candidates[0]).name
-            except LookupError:
+                return html_bs.decode(chared_encoding), meta_encoding, chared_encoding
+            except UnicodeError:
                 pass
-            else:
-                try:
-                    return html_bs.decode(chared_encoding), meta_encoding, chared_encoding
-                except UnicodeError:
-                    pass
     if meta_encoding and meta_encoding != "utf-8":
         try:
             return html_bs.decode(meta_encoding), meta_encoding, chared_encoding
@@ -132,7 +138,15 @@ if _HAVE_CHARED:  # pragma: no cover
 
 
 def txt_decode(text_bs: bytes) -> tuple[str, None, str | None]:
-    """Reference process.py:216-225 (chared candidates then utf-8)."""
+    """Reference process.py:216-225: chared candidates in rank order, then
+    strict utf-8 (raises UnicodeError when nothing works)."""
+    if config.CHARSET_DETECTOR and not _HAVE_CHARED:
+        for cand in charset.detect_encodings(text_bs):
+            try:
+                enc = codecs.lookup(cand).name
+                return text_bs.decode(enc), None, enc
+            except (LookupError, UnicodeError):
+                continue
     return text_bs.decode("utf-8"), None, None
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import posixpath
 import re
 import urllib.parse
+from functools import lru_cache
 from os.path import dirname
 
 import pandas as pd
@@ -169,18 +170,16 @@ def check_url_host(host: str, src_host: str | None = None, empty_page: bool = Fa
     if not host:
         return "empty-domain"
     if TLD_BLACKLIST_RE is not None and TLD_BLACKLIST_RE.search(host):
-        if config.DOMAIN_WHITELIST:
-            if not _in_domain_list(host, config.DOMAIN_WHITELIST):
+        if _has_domain_whitelist():
+            if not _white_domain(host):
                 return "blacklisted-TLD+not-white-domain"
         else:
             return "blacklisted-TLD"
-    if (config.DOMAIN_BLACKLIST_EXACT and host in config.DOMAIN_BLACKLIST_EXACT) or (
-        config.DOMAIN_BLACKLIST and _in_domain_list(host, config.DOMAIN_BLACKLIST)
-    ):
+    if _black_domain(host):
         return "blacklisted-domain"
     if TLD_WHITELIST_RE is not None and not TLD_WHITELIST_RE.search(host):
-        if config.DOMAIN_WHITELIST:
-            if not _in_domain_list(host, config.DOMAIN_WHITELIST):
+        if _has_domain_whitelist():
+            if not _white_domain(host):
                 return "unaccepted-TLD+not-white-domain"
         else:
             return "unaccepted-TLD"
@@ -190,7 +189,7 @@ def check_url_host(host: str, src_host: str | None = None, empty_page: bool = Fa
                 return "empty-page"
         elif not config.EXTRACT_EMPTY_PAGE_EXTERNAL_LINKS or (
             (TLD_NATIVE_RE is None or not TLD_NATIVE_RE.search(host))
-            and not (config.DOMAIN_WHITELIST and _in_domain_list(host, config.DOMAIN_WHITELIST))
+            and not (_has_domain_whitelist() and _white_domain(host))
         ):
             return "empty-page"
     return None
@@ -200,6 +199,62 @@ def _in_domain_list(host: str, domains: frozenset[str]) -> bool:
     """Suffix-at-label-boundary match (http.py:59-69 compiles the list into
     '(?:^|\\.)(?:...)$')."""
     return any(host == d or host.endswith("." + d) for d in domains)
+
+
+def get_domain_list_re(domain_list_path: str | None):
+    """Compile a domain-list FILE into the reference's matching regex
+    (http.py:59-69): one entry per line, '#' comments stripped, entries are
+    regex fragments, matched as '(?:^|\\.)(?:e1|e2|...)$' case-insensitive."""
+    if not domain_list_path:
+        return None
+    comment_re = re.compile("#.*")
+    entries = set()
+    with open(domain_list_path, encoding="utf-8", newline="\n") as f:
+        for line in f.read().split("\n"):
+            line = comment_re.sub("", line).strip()
+            if line:
+                entries.add(line)
+    if not entries:
+        return None
+    return re.compile(
+        "(?:^|\\.)(?:%s)$" % "|".join(entries), re.UNICODE | re.IGNORECASE
+    )
+
+
+@lru_cache(maxsize=1)
+def _domain_list_files():
+    """Lazily-compiled file lists (config *_PATH knobs, config.py:183-204 of
+    the reference).  Lazy so executor-side UDF workers compile from the
+    shipped config on first use; tests clear the cache after repointing the
+    config paths."""
+    black_re = get_domain_list_re(config.DOMAIN_BLACKLIST_PATH)
+    white_re = get_domain_list_re(config.DOMAIN_WHITELIST_PATH)
+    exact: frozenset[str] = frozenset()
+    if config.DOMAIN_BLACKLIST_EXACT_PATH:
+        with open(config.DOMAIN_BLACKLIST_EXACT_PATH, encoding="utf-8",
+                  newline="\n") as f:
+            exact = frozenset(f.read().rstrip().split("\n"))
+    return black_re, white_re, exact
+
+
+def _has_domain_whitelist() -> bool:
+    return bool(config.DOMAIN_WHITELIST) or _domain_list_files()[1] is not None
+
+
+def _white_domain(host: str) -> bool:
+    white_re = _domain_list_files()[1]
+    return (white_re is not None and white_re.search(host) is not None) or (
+        bool(config.DOMAIN_WHITELIST) and _in_domain_list(host, config.DOMAIN_WHITELIST)
+    )
+
+
+def _black_domain(host: str) -> bool:
+    black_re, _white, exact = _domain_list_files()
+    if host in exact or (config.DOMAIN_BLACKLIST_EXACT and host in config.DOMAIN_BLACKLIST_EXACT):
+        return True
+    if black_re is not None and black_re.search(host):
+        return True
+    return bool(config.DOMAIN_BLACKLIST) and _in_domain_list(host, config.DOMAIN_BLACKLIST)
 
 
 def check_url_path(path: str) -> str | None:

@@ -101,6 +101,33 @@ def test_queue_caps_driver_equivalence(spark, queue_web, queue_dir):
     assert spark_seen == sim.url_seen
 
 
+def test_live_salting_preserves_decisions(spark, queue_web, queue_dir, monkeypatch):
+    """Hot-host salting is wired into the committed frontier (VERDICT r1
+    #8): with the threshold forced tiny so q.no (30 paths) salts, the fetch
+    log must be IDENTICAL (salting is layout-only) and the hot host's rows
+    must span multiple partitions in the committed layout."""
+    from macocu_crawler_spark import config as cfg
+    from pyspark.sql import functions as F
+
+    params = CrawlParams(max_rounds=5)
+    sim = CrawlSimulator(queue_web, params).run()
+    monkeypatch.setattr(cfg, "HOT_HOST_SALT_THRESHOLD", 5)
+    drv = CrawlDriver(
+        spark, queue_dir, tempfile.mkdtemp(), CrawlParams(max_rounds=5),
+        checkpoint_every=0,
+    )
+    drv.run()
+    assert _logs(drv) == [(r, s + 1, u) for r, s, u in sim.fetch_log]
+    committed = drv.catalog.read(spark, "frontier")
+    parts = (
+        committed.filter(F.col("host") == "q.no")
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1, "hot host q.no not spread across partitions"
+
+
 def test_queue_default_params_driver_equivalence(spark, queue_web, queue_dir):
     """Same web under DEFAULT caps (nothing binds) still matches."""
     params = CrawlParams(max_rounds=8)

@@ -277,15 +277,51 @@ class TestProcessPage:
         assert row["text"].count("\n") >= 1  # both paragraphs kept
         assert row["links"] == []
 
-    def test_undeclared_legacy_encoding_fails_cleanly(self):
-        # iso-8859-1 bytes, no meta charset: decode ladder ends at strict
-        # utf-8 (process.py:213-214) -> no text, no crash
+    def test_undeclared_legacy_encoding_detected(self):
+        # iso-8859-1 bytes, NO meta charset: the chared-equivalent detector
+        # (functions/charset.py) recovers the encoding — the reference with
+        # chared does the same (process.py:195-206)
+        html = f"<html><body><p>Blåbærsyltetøy og rømmegrøt. {GOOD_NO_PAR}</p></body></html>"
+        row = textkit.process_page(
+            1, "http://example.no/x.html", html.encode("iso-8859-1"),
+            self.HDR, "20230815100000", "10.0.0.1")
+        assert row["txt_len"] > 0
+        assert row["enc_chared"] == "iso8859-1"
+        assert "Blåbærsyltetøy" in row["text"]
+
+    def test_undeclared_legacy_encoding_fails_cleanly_without_detector(self, monkeypatch):
+        # with the detector off the ladder ends at strict utf-8
+        # (process.py:213-214) -> no text, no crash
+        from macocu_crawler_spark import config as cfg
+
+        monkeypatch.setattr(cfg, "CHARSET_DETECTOR", False)
         html = f"<html><body><p>Blåbærsyltetøy og rømmegrøt. {GOOD_NO_PAR}</p></body></html>"
         row = textkit.process_page(
             1, "http://example.no/x.html", html.encode("iso-8859-1"),
             self.HDR, "20230815100000", "10.0.0.1")
         assert row["txt_len"] == 0
         assert "cannot extract text" in row["error_msgs"]
+
+    def test_lying_meta_charset_overridden_by_detector(self):
+        # the <meta> claims utf-8 but the bytes are iso-8859-1: detector
+        # precedence beats the meta (chared→meta→utf-8, process.py:195-214)
+        html = (
+            '<html><head><meta charset="utf-8"><title>Løgn</title></head>'
+            f"<body><p>Grønnsaker og blåbær. {GOOD_NO_PAR}</p></body></html>"
+        )
+        row = textkit.process_page(
+            1, "http://example.no/lyver.html", html.encode("iso-8859-1"),
+            self.HDR, "20230815100000", "10.0.0.1")
+        assert row["enc_meta"] == "utf-8"
+        assert row["enc_chared"] == "iso8859-1"
+        assert "Grønnsaker" in row["text"]
+
+    def test_detector_keeps_utf8_pages_utf8(self):
+        # a genuinely-utf-8 page with Norwegian chars must NOT be misranked
+        # into a legacy decode (mojibake hazard)
+        row = self._process(page_html([f"Blåbær og kjøttkaker. {GOOD_NO_PAR}"]))
+        assert row["enc_chared"] == "utf-8"
+        assert "Blåbær" in row["text"]
 
 
 class TestUnigramModel:
