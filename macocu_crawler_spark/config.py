@@ -42,6 +42,17 @@ HOST_CONN_INTERVAL = 20        # config.py:158 [s]; == one round
 MAX_CONNS_PER_IP_PER_ROUND = HOST_CONN_INTERVAL // IP_CONN_INTERVAL
 
 MAX_URL_SELECT = 30 * 1000     # config.py:98 (non-BIG_CRAWLING)
+# O4 cold-start ramp (scheduler.py:156-158): the URL generator emits a batch
+# only once ≥ url_batch_size URLs are ready; url_batch_size ramps from
+# MIN_URL_SELECT_START to MIN_URL_SELECT over the first ~20 batches
+MIN_URL_SELECT_START = 1       # config.py:92 (non-BIG_CRAWLING)
+MIN_URL_SELECT = 300           # config.py:93 (non-BIG_CRAWLING)
+
+
+def increasing_range(start: int, end: int, step_count: int = 10,
+                     repeat_start_count: int = 1) -> list[int]:
+    """util/__init__.py:342-343, verbatim semantics."""
+    return [start] * repeat_start_count + list(range(start, end, end // step_count)) + [end]
 MAX_URL_SELECT_PER_DOMAIN = 20 # config.py:269
 MAX_HOST_URL_QUEUE = 200       # config.py:153
 # reference UPDATE_WAITING_QUEUE_PERIOD (3600 s, config.py:146) expressed in

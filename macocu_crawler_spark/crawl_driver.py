@@ -175,6 +175,7 @@ class CrawlDriver:
         self.checkpoint_every = checkpoint_every
         self.round_no = 0
         self.wpage_base = 0
+        self.batches_emitted = 0  # O4 cold-start ramp position
         # static fixture inputs (in production: Iceberg pages/robots/dns)
         self.pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet")).cache()
         self.robots = spark.read.parquet(os.path.join(fixture_dir, "robots.parquet")).cache()
@@ -279,6 +280,17 @@ class CrawlDriver:
             self.domains = self._pin(domains)
             self.metrics.append({"round": r, "selected": 0, "processed": 0})
             return 0
+        # O4 cold-start gate (scheduler.py:134-140, 177-188; mirrors
+        # simulator.run_round): below the current minimum batch size the
+        # scheduler keeps accumulating — in the round model that is a stall
+        if n_selected < self.params.batch_min(self.batches_emitted):
+            selected.unpersist()
+            self.domains = self._pin(domains)
+            self.metrics.append(
+                {"round": r, "selected": 0, "processed": 0, "gated": n_selected}
+            )
+            return 0
+        self.batches_emitted += 1
         # S-output: fetch log appended to the catalog (never held driver-side)
         self.catalog.write(
             "fetch_log",
@@ -636,6 +648,7 @@ class CrawlDriver:
         meta = {
             "round": self.round_no,
             "wpage_base": self.wpage_base,
+            "batches_emitted": self.batches_emitted,
             "params": asdict(self.params),
             "metrics": self.metrics,
         }
@@ -647,6 +660,7 @@ class CrawlDriver:
             meta = json.load(f)
         self.round_no = meta["round"]
         self.wpage_base = meta["wpage_base"]
+        self.batches_emitted = meta.get("batches_emitted", 0)
         self.metrics = meta["metrics"]
         for name in self.STATE_TABLES:
             setattr(self, name, self.catalog.read(self.spark, name, version=self.round_no))

@@ -71,6 +71,14 @@ class CrawlParams:
     # waiting URLs rotate back every this many rounds (crawl.py:160-217,
     # UPDATE_WAITING_QUEUE_PERIOD in rounds)
     waiting_rotate_every: int = config.WAITING_ROTATE_ROUNDS
+    # O4 cold-start ramp (scheduler.py:156-188): a round only FETCHES when
+    # ≥ batch_min(batches_emitted) candidates are selected; the minimum
+    # ramps MIN_URL_SELECT_START → MIN_URL_SELECT over ~20 emitted batches.
+    # Defaults (1, 1) never gate — fixture webs are far below the
+    # reference's production minimum (300); set reference-like values to
+    # exercise the gate.
+    min_url_select_start: int = 1
+    min_url_select: int = 1
     min_docs_downloaded: int = config.MIN_DOCS_DOWNLOADED
     min_bytes_downloaded: int = config.MIN_BYTES_DOWNLOADED
     yield_coeff: float = 0.002          # config.py:246-248
@@ -84,6 +92,21 @@ class CrawlParams:
 
     def yield_threshold(self, doc_count: int) -> float:
         return self.yield_coeff * (log10(doc_count) - 1)
+
+    def batch_min(self, batches_emitted: int) -> int:
+        """Minimum batch size for the next batch after `batches_emitted`
+        emitted ones.  Reference: url_batch_size starts at
+        MIN_URL_SELECT_START and is re-popped from the reversed
+        increasing_range after every emitted batch (scheduler.py:156-188)."""
+        if self.min_url_select <= self.min_url_select_start:
+            return self.min_url_select_start
+        if batches_emitted == 0:
+            return self.min_url_select_start
+        asc = config.increasing_range(
+            self.min_url_select_start, self.min_url_select,
+            step_count=10, repeat_start_count=10,
+        )
+        return asc[min(batches_emitted - 1, len(asc) - 1)]
 
     def bucket_key(self, host: str, distance: int) -> tuple[int, int]:
         hb = next((i for i, t in enumerate(self.hostname_len_ranges) if len(host) <= t),
@@ -150,6 +173,7 @@ class CrawlSimulator:
         self.result = SimResult(url_seen=self.url_seen, domains=self.domains)
         self.wpage_counter = 0
         self.seq_counter = 0
+        self.batches_emitted = 0  # O4 cold-start ramp position
 
     # -- admission (scheduler.py:358-441) ------------------------------------
     def admit_links(self, round_no: int, links: list[tuple]) -> None:
@@ -374,6 +398,16 @@ class CrawlSimulator:
             occupied.add(key)
             ip_counts[dom.ip] = n + 1
             selected.append(("dom", dom, path, is_robot))
+        # O4 cold-start gate (scheduler.py:134-140, 177-188): too few
+        # candidates for the current minimum batch size → the scheduler
+        # would keep waiting; in the round model nothing new can arrive
+        # without fetches, so the crawl ends here
+        if selected and len(selected) < self.params.batch_min(self.batches_emitted):
+            self.result.metrics.append(
+                {"round": round_no, "selected": 0, "processed": 0, "gated": len(selected)}
+            )
+            return 0
+        self.batches_emitted += 1
         for entry in picked_rr:
             self.robot_redirects.remove(entry)
         # fetch + process in order

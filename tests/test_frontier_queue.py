@@ -128,6 +128,43 @@ def test_live_salting_preserves_decisions(spark, queue_web, queue_dir, monkeypat
     assert parts > 1, "hot host q.no not spread across partitions"
 
 
+def test_cold_start_ramp_gates_identically(spark, queue_web, queue_dir):
+    """O4 cold-start ramp (scheduler.py:156-188): with a reference-like
+    MIN_URL_SELECT the crawl stalls once the per-round candidate count
+    falls below the ramped minimum — simulator and driver stop at the SAME
+    round with identical fetch logs, and earlier than the ungated crawl."""
+    kw = dict(max_rounds=30, min_url_select_start=1, min_url_select=10)
+    gated_sim = CrawlSimulator(queue_web, CrawlParams(**kw)).run()
+    ungated_sim = CrawlSimulator(queue_web, CrawlParams(max_rounds=30)).run()
+    assert len(gated_sim.fetch_log) < len(ungated_sim.fetch_log), (
+        "gate never bound — fixture/params mismatch"
+    )
+    drv = CrawlDriver(
+        spark, queue_dir, tempfile.mkdtemp(), CrawlParams(**kw), checkpoint_every=0,
+    )
+    drv.run()
+    assert _logs(drv) == [(r, s + 1, u) for r, s, u in gated_sim.fetch_log]
+
+
+def test_dns_resolution_stage(spark):
+    """S10: the mapInPandas resolution stage — batched, pluggable resolver,
+    NO_HOST routing for unresolvable hosts (scheduler.py:443-482)."""
+    from macocu_crawler_spark.sources.dns import (
+        NO_HOST,
+        deterministic_fake_resolver,
+        resolve_hosts,
+    )
+
+    df = spark.createDataFrame(
+        [("http", "a.no"), ("http", "dead.no"), ("https", "b.no")],
+        "scheme string, host string",
+    )
+    out = {r.host: r.ip for r in resolve_hosts(df, deterministic_fake_resolver).collect()}
+    assert out["dead.no"] == NO_HOST
+    assert out["a.no"] == deterministic_fake_resolver("a.no")
+    assert out["b.no"].startswith("10.")
+
+
 def test_queue_default_params_driver_equivalence(spark, queue_web, queue_dir):
     """Same web under DEFAULT caps (nothing binds) still matches."""
     params = CrawlParams(max_rounds=8)

@@ -107,3 +107,64 @@ class TestPrevertSink:
                 for r in docs.filter("prevert != ''").collect()}
         got = {r.wpage_id: r.prevert for r in back.collect()}
         assert got == orig
+
+
+class TestSchedulerPlanShape:
+    """VERDICT r1 #2 done-criterion: no single task may process the whole
+    frontier.  The executed select_urls plan must (a) cap globally with a
+    TakeOrderedAndProject (parallel partial TopK), (b) keep every window
+    that runs over frontier-sized input KEYED (with WindowGroupLimit rank
+    pushdown), and (c) place the only unkeyed window ABOVE the TopK, i.e.
+    over the bounded ≤ max_url_select batch."""
+
+    def test_select_urls_no_global_window_over_frontier(self, spark):
+        import re
+
+        from macocu_crawler_spark.operators.scheduler_round import select_urls
+        from macocu_crawler_spark.simulator import CrawlParams
+
+        n_urls, n_hosts = 10_000, 500
+        frontier = spark.range(n_urls).select(
+            F.lit("http").alias("scheme"),
+            F.concat(F.lit("h"), F.col("id") % n_hosts).alias("host"),
+            F.concat(F.lit("/p"), F.col("id")).alias("path"),
+            F.concat(F.lit("/p"), F.col("id")).alias("path_sanitised"),
+            (F.col("id") % 7).alias("batch_id"),
+            F.col("id").alias("seq"),
+            F.lit("queued").alias("status"),
+            F.lit(1).alias("q_round"),
+            F.lit(1).alias("q_phase"),
+            (F.col("id") / n_hosts).cast("int").alias("q_rank"),
+        )
+        domains = spark.range(n_hosts).select(
+            F.lit("http").alias("scheme"),
+            F.concat(F.lit("h"), F.col("id")).alias("host"),
+            F.concat(F.lit("10.0."), F.col("id") % 250, F.lit("."),
+                     F.col("id") % 200).alias("ip"),
+            F.lit(1).alias("distance"),
+            F.lit(False).alias("bad"),
+            F.lit("empty").alias("robot_state"),
+            F.lit(None).cast("string").alias("robot_body"),
+            *[F.lit(0).cast("long").alias(c) for c in (
+                "count_downloaded", "count_cleaned",
+                "bytes_downloaded", "bytes_cleaned")],
+        )
+        sel = select_urls(frontier, domains, CrawlParams())
+        ps = plan_string(sel)
+        lines = ps.splitlines()
+        topk = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+        assert topk, "global ordered cap must compile to TakeOrderedAndProject"
+        # a window whose spec has no partition columns starts with an
+        # ordering arg ("col ASC/DESC NULLS ...") instead of a bare column
+        global_windows = [
+            i for i, l in enumerate(lines)
+            if "windowspecdefinition(" in l
+            and re.search(r"windowspecdefinition\([^,()]*\s(ASC|DESC)\b", l)
+        ]
+        assert global_windows, "fetch_seq numbering window missing"
+        assert all(i < min(topk) for i in global_windows), (
+            "an unkeyed window consumes frontier-sized input (below the TopK)"
+        )
+        # rank-limit pushdown on the keyed politeness/queue windows
+        assert "WindowGroupLimit" in ps
+        assert sel.count() == n_hosts  # 1 per host, all under max_url_select
