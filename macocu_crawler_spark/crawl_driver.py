@@ -176,6 +176,7 @@ class CrawlDriver:
         self.round_no = 0
         self.wpage_base = 0
         self.batches_emitted = 0  # O4 cold-start ramp position
+        self.durable_every = 4    # frontier/domains durable-snapshot cadence
         # static fixture inputs (in production: Iceberg pages/robots/dns)
         self.pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet")).cache()
         self.robots = spark.read.parquet(os.path.join(fixture_dir, "robots.parquet")).cache()
@@ -256,9 +257,8 @@ class CrawlDriver:
         self.frontier = self._pin_durable("frontier", new_rows)
         self.url_seen = self._pin_durable("url_seen", new_seen)
         self.domains = self._pin_durable("domains", domains2)
-        self.robot_redirects = self._pin_durable("robot_redirects", self.robot_redirects)
-        self.seen_txt = self._pin_durable("seen_txt", self.seen_txt)
-        self.seen_raw = self._pin_durable("seen_raw", self.seen_raw)
+        # the remaining state tables are empty at init — they stay
+        # in-memory and hit the catalog at the first commit()
 
     # -- one round ------------------------------------------------------------------
     def run_round(self) -> int:
@@ -335,19 +335,29 @@ class CrawlDriver:
         page_hits.unpersist()
         self.wpage_base += n_processed
         if n_processed:
-            # S6/S7 outputs: documents (with their ignored-link arrays)
-            # appended to the catalog — the driver never holds rows
-            self.catalog.write(
-                "documents", docs.select(*DOC_COLUMNS, "ignored_links"),
-                version=r, metrics={"round": r},
-            )
             # --- dedup ---
-            # append-only sets grow by pinned increments (lazy union keeps
-            # the per-round cost O(increment); the union tree stays shallow)
             dup_ids, new_txt, new_raw = dedup_batch(docs, self.seen_txt, self.seen_raw)
-            self.catalog.write("duplicates", dup_ids, version=r, metrics={"round": r})
-            self.seen_txt = self.seen_txt.unionByName(self._pin(new_txt))
-            self.seen_raw = self.seen_raw.unionByName(self._pin(new_raw))
+            # S6/S7/S11 outputs in ONE write: documents carry their
+            # ignored-link arrays and an is_duplicate flag (the duplicates
+            # accessor filters it) — the driver never holds rows
+            docs_out = docs.select(*DOC_COLUMNS, "ignored_links").join(
+                dup_ids.withColumn("is_duplicate", F.lit(True)), "wpage_id", "left"
+            ).withColumn("is_duplicate", F.coalesce("is_duplicate", F.lit(False)))
+            self.catalog.write("documents", docs_out, version=r, metrics={"round": r})
+            # append-only sets grow by pinned increments (lazy union keeps
+            # the per-round cost O(increment); the union tree stays
+            # shallow); both increments share one materialisation
+            inc = self._pin(
+                new_txt.withColumn("_set", F.lit("t")).unionByName(
+                    new_raw.withColumn("_set", F.lit("r"))
+                )
+            )
+            self.seen_txt = self.seen_txt.unionByName(
+                inc.filter(F.col("_set") == "t").drop("_set")
+            )
+            self.seen_raw = self.seen_raw.unionByName(
+                inc.filter(F.col("_set") == "r").drop("_set")
+            )
         # --- counters + robots answers (own fetches and redirect-target
         # fetches; the latter apply to their SOURCE domain) ---
         domains = merge_counters(domains, docs)
@@ -480,18 +490,18 @@ class CrawlDriver:
             ),
             ["scheme", "host"],
         )
-        frontier = (
-            frontier.join(newly_ready, ["scheme", "host"], "left")
-            .withColumn(
-                "keep",
-                F.when(
-                    F.col("robot_body").isNotNull(),
-                    robots_allowed_udf(F.col("robot_body"), F.col("path")),
-                ).otherwise(F.lit(True)),
-            )
-            .filter(F.col("keep"))
-            .drop("robot_body", "keep")
+        # robots-filter ONLY the rows of newly-ready hosts: a when()-guarded
+        # pandas UDF would still round-trip the ENTIRE frontier through
+        # Python every round (vectorised UDFs don't short-circuit) — the
+        # split join keeps the Python pass proportional to the hosts whose
+        # robots just arrived
+        untouched = frontier.join(newly_ready, ["scheme", "host"], "left_anti")
+        checked = (
+            frontier.join(newly_ready, ["scheme", "host"])
+            .filter(robots_allowed_udf(F.col("robot_body"), F.col("path")))
+            .drop("robot_body")
         )
+        frontier = untouched.unionByName(checked)
         # --- link admission ---
         doc_links = (
             docs.filter((F.col("txt_len") > 0) & (F.size("links") > 0))
@@ -555,12 +565,20 @@ class CrawlDriver:
         # broadcast of the (usually empty) salt-factor relation — same plan,
         # no extra job (operators/partitioning.py)
         n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        self.frontier = self._pin_durable(
-            "frontier",
-            repartition_frontier(frontier.unionByName(new_rows), n_partitions=n_parts),
+        new_frontier = repartition_frontier(
+            frontier.unionByName(new_rows), n_partitions=n_parts
         )
+        # durable snapshot every durable_every rounds (plus at every
+        # commit): in between, localCheckpoint truncates lineage; origin
+        # statistics multiply only durable_every rounds deep, which stays
+        # bounded (unbounded growth was the round-1 stats bug)
+        if r % self.durable_every == 0:
+            self.frontier = self._pin_durable("frontier", new_frontier)
+            self.domains = self._pin_durable("domains", domains2)
+        else:
+            self.frontier = self._pin(new_frontier)
+            self.domains = self._pin(domains2)
         self.url_seen = self.url_seen.unionByName(self._pin(new_seen))
-        self.domains = self._pin_durable("domains", domains2)
         docs.unpersist()
         selected.unpersist()
         # compact the append-only union chains periodically: beyond ~10 legs
@@ -576,7 +594,7 @@ class CrawlDriver:
         return n_selected
 
     # -- output accessors (catalog-backed; the driver never holds rows) -----------
-    OUTPUT_TABLES = ("fetch_log", "documents", "duplicates")
+    OUTPUT_TABLES = ("fetch_log", "documents")
 
     def _read_output(self, name: str, schema) -> DataFrame:
         try:
@@ -592,7 +610,12 @@ class CrawlDriver:
 
     @property
     def duplicates(self) -> DataFrame:
-        return self._read_output("duplicates", "wpage_id long")
+        """S11: duplicate wpage ids — the is_duplicate flag on documents."""
+        try:
+            docs = self.catalog.read_all(self.spark, "documents")
+        except FileNotFoundError:
+            return self.spark.createDataFrame([], "wpage_id long")
+        return docs.filter(F.col("is_duplicate")).select("wpage_id")
 
     @property
     def ignored(self) -> DataFrame:

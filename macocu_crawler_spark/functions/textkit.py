@@ -108,8 +108,17 @@ def html_decode(html_bs: bytes, lang: str) -> tuple[str, str | None, str | None]
         candidates = _chared_model(lang).classify(html_bs)
     elif config.CHARSET_DETECTOR:
         # chared-equivalent byte-trigram detector (functions/charset.py) —
-        # same precedence: detector beats a LYING <meta> charset
-        candidates = charset.detect_encodings(html_bs)
+        # same precedence: detector beats a LYING <meta> charset.
+        # Fast path: bytes that strict-decode as utf-8 classify as utf-8
+        # anyway (pure ASCII has no evidence → utf-8 default; valid utf-8
+        # multibyte sequences are exactly what the utf-8 model matches), so
+        # skip the trigram scoring — C-level decode instead of Python work
+        # on the hot path; legacy pages fail strict decode and fall through
+        # to the detector unchanged.
+        try:
+            return html_bs.decode("utf-8"), meta_encoding, "utf-8"
+        except UnicodeError:
+            candidates = charset.detect_encodings(html_bs)
     else:
         candidates = []
     if candidates:
@@ -141,6 +150,10 @@ def txt_decode(text_bs: bytes) -> tuple[str, None, str | None]:
     """Reference process.py:216-225: chared candidates in rank order, then
     strict utf-8 (raises UnicodeError when nothing works)."""
     if config.CHARSET_DETECTOR and not _HAVE_CHARED:
+        try:  # fast path (see html_decode): valid utf-8 classifies utf-8
+            return text_bs.decode("utf-8"), None, "utf-8"
+        except UnicodeError:
+            pass
         for cand in charset.detect_encodings(text_bs):
             try:
                 enc = codecs.lookup(cand).name
@@ -335,11 +348,19 @@ A_HREF_RE = re.compile(
     re.I | re.S,
 )
 NOFOLLOW_RE = re.compile(r"""rel\s*=\s*['"]?nofollow['"]?""", re.I)
+# lxml (the reference's parser, process.py:409) never surfaces markup that
+# sits inside script/style CONTENT or comments as elements — the href regex
+# must not either (caught by tests/test_adversarial_html.py).  Scripts are
+# stripped before comments so legacy <script><!-- ... //--></script> hiding
+# doesn't unbalance the comment strip.
+SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.I | re.S)
+HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 
 
 def iter_hrefs(html_text: str):
     """All <a href> values except rel=nofollow (reference xpath at
     process.py:409: .//a[not(@rel='nofollow')]/@href)."""
+    html_text = HTML_COMMENT_RE.sub("", SCRIPT_STYLE_RE.sub("", html_text))
     for m in A_HREF_RE.finditer(html_text):
         if NOFOLLOW_RE.search(m.group(0)):
             continue

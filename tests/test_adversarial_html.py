@@ -1,0 +1,102 @@
+"""Adversarial HTML through the extraction pipeline (VERDICT r1: jusText/
+chared fidelity risk on malformed markup).
+
+The reference runs lxml + jusText; our from-scratch extractor must at
+minimum (a) never crash, (b) recover the real text, and (c) keep
+deterministic link extraction on malformed nesting, CDATA, conditional
+comments, entities, lying scripts and unclosed tags.  Known divergences
+from lxml-based jusText are documented in COVERAGE.md (U4 row).
+"""
+
+from macocu_crawler_spark.functions import textkit
+
+HDR = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+
+GOOD = (
+    "Kommunestyret vedtok onsdag den nye planen for utbygging av havna, "
+    "og ordføreren sa at arbeidet starter til våren. Flere beboere møtte "
+    "opp for å høre om de nye byggeplanene i sentrum av bygda."
+)
+
+
+def _run(html: str, url: str = "http://x.no/a.html"):
+    return textkit.process_page(1, url, html.encode("utf-8"), HDR,
+                                "20230815100000", "10.0.0.1")
+
+
+class TestAdversarialHtml:
+    def test_unclosed_tags(self):
+        row = _run(f"<html><body><div><p>{GOOD}<p>{GOOD} Og mer tekst her.")
+        assert row["txt_len"] > 0
+        assert "Kommunestyret" in row["text"]
+
+    def test_mismatched_nesting(self):
+        row = _run(f"<html><body><b><i>{GOOD}</b></i><p>{GOOD}</p>")
+        assert "Kommunestyret" in row["text"]
+
+    def test_cdata_section(self):
+        row = _run(
+            "<html><body><script>/*<![CDATA[*/ var x = '<p>fake</p>'; "
+            f"/*]]>*/</script><p>{GOOD}</p></body></html>"
+        )
+        assert "fake" not in row["text"]
+        assert "Kommunestyret" in row["text"]
+
+    def test_conditional_comments(self):
+        row = _run(
+            "<html><body><!--[if IE]><p>bare for gamle nettlesere</p><![endif]-->"
+            f"<p>{GOOD}</p></body></html>"
+        )
+        assert "gamle nettlesere" not in row["text"]
+        assert "Kommunestyret" in row["text"]
+
+    def test_entities_decoded(self):
+        row = _run(
+            f"<html><body><p>Bl&aring;b&aelig;r og r&#248;mme er godt. {GOOD}</p>"
+            "</body></html>"
+        )
+        assert "Blåbær" in row["text"]
+        assert "rømme" in row["text"]
+
+    def test_markup_inside_script_strings(self):
+        row = _run(
+            "<html><body><script>document.write('<a href=\"/felle.html\">x</a>');"
+            f"</script><p>{GOOD} <a href='/ekte.html'>ekte lenke</a></p></body></html>"
+        )
+        paths = {p for _s, _h, p in row["links"]}
+        assert "/ekte.html" in paths
+        assert "/felle.html" not in paths
+
+    def test_comment_with_angle_brackets(self):
+        row = _run(
+            f"<html><body><!-- <p>skjult</p> --><p>{GOOD}</p></body></html>"
+        )
+        assert "skjult" not in row["text"]
+        assert row["txt_len"] > 0
+
+    def test_attribute_with_gt(self):
+        row = _run(
+            f'<html><body><p title="a>b">{GOOD}</p>'
+            '<a href="/grei.html" data-x="1>2">grei side</a></body></html>'
+        )
+        assert "Kommunestyret" in row["text"]
+        assert "/grei.html" in {p for _s, _h, p in row["links"]}
+
+    def test_deeply_nested_divs(self):
+        html = "<html><body>" + "<div>" * 120 + f"<p>{GOOD}</p>" + "</div>" * 120
+        row = _run(html)
+        assert "Kommunestyret" in row["text"]
+
+    def test_null_bytes_and_control_chars(self):
+        row = _run(f"<html><body><p>{GOOD}\x00\x08 slutt.</p></body></html>")
+        assert row is not None  # no crash; text may normalise the controls
+
+    def test_mixed_declared_vs_actual_charset_entities(self):
+        # utf-8 bytes + latin-1 meta LIE + entities: detector keeps utf-8
+        html = (
+            '<html><head><meta charset="iso-8859-1"></head>'
+            f"<body><p>Blåbær &amp; rømme. {GOOD}</p></body></html>"
+        )
+        row = _run(html)
+        assert "Blåbær" in row["text"]
+        assert "&" in row["text"] or "&amp;" in row["prevert"]
