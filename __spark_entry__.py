@@ -248,6 +248,62 @@ def q_events_tumbling(spark, sf):  # §2.9 streaming agg (batch-equivalent form)
     return streamwin.windowed_counts_batch(spark, sf)
 
 
+def q_global_seq(spark, sf):
+    """The scale-safe global numbering primitive (partitioning.bucketed_seq
+    — two-pass bucketed ranks, no single-partition window) must equal SQL
+    row_number() over the same total order."""
+    from macocu_crawler_spark.operators.partitioning import bucketed_seq
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    return bucketed_seq(
+        li, "l_orderkey", [F.col("l_orderkey"), F.col("l_linenumber")],
+        "seq", width=512,
+    )
+
+
+def q_queue_sweep(spark, sf):
+    """One O2/O7 sweep (operators/frontier_queue.sweep_frontier) over a
+    frontier built from the events table: per-host pull of the 5 shortest
+    paths, queue cap 3 → ranks 1-4 queued, rank 5 waiting, rest pending."""
+    from macocu_crawler_spark.operators.frontier_queue import sweep_frontier
+    from macocu_crawler_spark.simulator import CrawlParams
+
+    ev = _t(spark, sf, "events")
+    frontier = ev.select(
+        F.lit("http").alias("scheme"),
+        F.col("user_id").cast("string").alias("host"),
+        F.concat(F.lit("/"), F.col("event_id").cast("string")).alias("path"),
+        F.concat(F.lit("/"), F.col("event_id").cast("string")).alias("path_sanitised"),
+        F.lit(0).cast("long").alias("batch_id"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.lit("pending").alias("status"),
+        F.lit(None).cast("int").alias("q_round"),
+        F.lit(None).cast("int").alias("q_phase"),
+        F.lit(None).cast("int").alias("q_rank"),
+    )
+    domains = ev.select(
+        F.lit("http").alias("scheme"),
+        F.col("user_id").cast("string").alias("host"),
+    ).distinct().select(
+        "scheme", "host",
+        F.lit("1.2.3.4").alias("ip"),
+        F.lit(1).alias("distance"),
+        F.lit(False).alias("bad"),
+        F.lit("empty").alias("robot_state"),
+        F.lit(None).cast("string").alias("robot_body"),
+        *[F.lit(0).cast("long").alias(c) for c in (
+            "count_downloaded", "count_cleaned",
+            "bytes_downloaded", "bytes_cleaned")],
+    )
+    params = CrawlParams(
+        max_url_select_per_domain=5, max_host_url_queue=3,
+        waiting_rotate_every=0,
+    )
+    return sweep_frontier(frontier, domains, round_no=1, params=params).select(
+        "host", "path", "status", "q_rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # URL kernel on an inline URL list (P1-P5/F1-F4 reason cascade)
 # ---------------------------------------------------------------------------
@@ -418,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_format": q_date_format,
         "q_regexp_filter": q_regexp_filter,
         "q_events_tumbling": q_events_tumbling,
+        "q_global_seq": q_global_seq,
+        "q_queue_sweep": q_queue_sweep,
         "q_url_admission": q_url_admission,
         # training-data pipeline ops
         "dedup_exact": lambda s, sf: dedup_text.exact_dedup(_t(s, sf, "documents")),
@@ -436,6 +494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, sf, "documents"), threshold=0.5
         ),
         "dedup_embedding_cosine": lambda s, sf: similarity.cosine_pairs(
+            _emb(s, sf), threshold=0.3
+        ),
+        "dedup_embedding_cosine_lsh": lambda s, sf: similarity.cosine_pairs_lsh(
             _emb(s, sf), threshold=0.3
         ),
         "ann_bruteforce_topk": lambda s, sf: similarity.ann_bruteforce_topk(_emb(s, sf)),
@@ -559,6 +620,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'join .*join')
         """,
         "q_events_tumbling": streamwin.WINDOWED_COUNTS_ORACLE,
+        "q_global_seq": """
+            SELECT l_orderkey, l_linenumber,
+                   row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS seq
+            FROM lineitem
+        """,
+        "q_queue_sweep": """
+            WITH ranked AS (
+              SELECT CAST(user_id AS VARCHAR) AS host,
+                     '/' || CAST(event_id AS VARCHAR) AS path,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY length('/' || CAST(event_id AS VARCHAR)), event_id
+                     ) AS prn
+              FROM events
+            )
+            SELECT host, path,
+                   CASE WHEN prn > 5 THEN 'pending'
+                        WHEN prn <= 4 THEN 'queued'
+                        ELSE 'waiting' END AS status,
+                   CASE WHEN prn <= 5 THEN prn ELSE NULL END AS q_rank
+            FROM ranked
+        """,
         "q_url_admission": URL_ADMISSION_ORACLE,
         "dedup_exact": dedup_text.EXACT_DEDUP_ORACLE,
         "dedup_minhash_lsh": dedup_text.MINHASH_PAIRS_ORACLE,
@@ -576,6 +659,9 @@ def oracle_sql() -> dict[str, str]:
               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4) >= 0.3
         """,
+        "dedup_embedding_cosine_lsh": similarity.cosine_pairs_lsh_oracle(
+            threshold=0.3
+        ),
         "ann_bruteforce_topk": """
             SELECT query_id, neighbor_id, cos, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -32,7 +32,9 @@ DOMAIN_WHITELIST_PATH = None         # config.py:200
 EXTRACT_EMPTY_PAGE_INTERNAL_LINKS = True   # config.py:207
 EXTRACT_EMPTY_PAGE_EXTERNAL_LINKS = False  # config.py:210
 CONVERSION_ENABLED = False     # config.py:350 (binary doc conversion off)
-SSL_ENABLED = True             # config.py:115
+SSL_ENABLED = True             # config.py:115 (INFORMATIONAL: fetch is
+                               # mocked in-sandbox; the live-fetch UDF
+                               # would honour it)
 
 # -- Politeness / scheduling (reference util/config.py) --
 IP_CONN_INTERVAL = 1           # config.py:156 [s]
@@ -60,11 +62,19 @@ MAX_HOST_URL_QUEUE = 200       # config.py:153
 # per-host downloader queue every this many rounds
 WAITING_ROTATE_ROUNDS = 3600 // HOST_CONN_INTERVAL
 MAX_DOMAIN_DISTANCE = 50       # config.py:222
+# INFORMATIONAL (not enforced): the reference's per-domain pending-paths
+# RAM spill threshold (domain.py:150-167).  The Spark frontier is
+# disk-resident, so the spill's purpose (bounding scheduler RAM) does not
+# apply; pending order stays (len(path), admission) either way.
 MAX_DOMAIN_NEW_PATHS = 100     # config.py:275
 # domain sweep priority buckets, disabled by default (config.py:224-233)
 DOM_SCHED_HOSTNAME_LEN_RANGES = [MAX_HOSTNAME_LEN]
 DOM_SCHED_DOM_DISTANCE_RANGES = [MAX_DOMAIN_DISTANCE]
 
+# INFORMATIONAL (not enforced): general page-redirect hop cap.  In the
+# round model each redirect hop consumes its own politeness slot and the
+# URL-seen set kills loops, so unbounded chains cannot occur; the robots
+# cap (MAX_ROBOT_REDIRECTS) below IS enforced.
 MAX_REDIRECTS = 5              # crawl.py redirect handling
 MAX_ROBOT_REDIRECTS = 2        # crawl.py:325
 IGNORE_ROBOTS_WHEN_FAILED = False  # config.py:279
@@ -72,6 +82,9 @@ IGNORE_ROBOTS_WHEN_FAILED = False  # config.py:279
 # -- Yield-driven domain kill rule (reference util/domain.py:228-244) --
 MIN_DOCS_DOWNLOADED = 20       # config.py:216 (non-BIG_MACHINE)
 MIN_BYTES_DOWNLOADED = 256 * 1024  # config.py:218
+# "domain is done" cap (scheduler.py:521): count_cleaned ≥ this → bad;
+# None (reference default) disables it — enforced in apply_yield_rule /
+# simulator._is_efficient, tested binding in test_crawl_driver
 MAX_DOCS_CLEANED = None        # config.py:220
 
 
@@ -91,6 +104,12 @@ YIELD_RATE_THRESHOLD_SQL = "0.002 * (log10({doc_count}) - 1)"
 LANGUAGES = ("English", "Norwegian")     # config.py:297 (set; ordered here
                                          # for deterministic iteration)
 LANGUAGES_ACCEPT = frozenset({"Norwegian"})  # config.py:299
+# MULTILINGUAL mode (config.py:61-65, 300-302): multiple languages accepted
+# but domains must keep producing PRIMARY_LANGUAGES text — the yield rule
+# gains a primary-language ratio threshold (config.py:254-256)
+MULTILINGUAL = False
+PRIMARY_LANGUAGES = frozenset({"Norwegian"})
+PRIMARY_LANG_RATIO_COEFF = 0.05          # config.py:256
 LANG_DIFF_THRESHOLD_DOC = 0.6            # config.py:307
 LANG_DIFF_THRESHOLD_PAR = 0.95           # config.py:308
 FORCE_ENCODING = None                    # config.py:310

@@ -102,6 +102,8 @@ DOMAINS_SCHEMA = T.StructType(
         T.StructField("count_cleaned", T.LongType()),
         T.StructField("bytes_downloaded", T.LongType()),
         T.StructField("bytes_cleaned", T.LongType()),
+        # MULTILINGUAL (domain.py:43-61): primary-language clean bytes
+        T.StructField("bytes_cleaned_primary", T.LongType()),
     ]
 )
 FRONTIER_SCHEMA = T.StructType(
@@ -360,7 +362,7 @@ class CrawlDriver:
             )
         # --- counters + robots answers (own fetches and redirect-target
         # fetches; the latter apply to their SOURCE domain) ---
-        domains = merge_counters(domains, docs)
+        domains = merge_counters(domains, docs, self.params)
         own_robot_fetches = selected.filter(F.col("is_robot") & ~F.col("is_rr"))
         if not self._has_redir_robots:
             # fast path: no REDIR robots exist — answers are final as-is

@@ -108,6 +108,7 @@ def admit_links(
             F.lit(0).cast("long").alias("count_cleaned"),
             F.lit(0).cast("long").alias("bytes_downloaded"),
             F.lit(0).cast("long").alias("bytes_cleaned"),
+            F.lit(0).cast("long").alias("bytes_cleaned_primary"),
         )
     )
     # existing domains: relax distance (least of old and batch min)

@@ -119,27 +119,51 @@ def apply_yield_rule(domains: DataFrame, params) -> DataFrame:
     violates = past_min & (
         F.col("bytes_cleaned") / F.col("bytes_downloaded") < threshold
     )
+    if getattr(params, "multilingual", False):
+        # MULTILINGUAL primary-language ratio (domain.py:239-243,
+        # config.py:254-256); bytes_cleaned > 0 guard mirrors the simulator
+        p_threshold = F.lit(params.primary_coeff) * (
+            F.log10(F.col("count_downloaded")) - 1
+        )
+        violates = violates | (
+            past_min
+            & (F.col("bytes_cleaned") > 0)
+            & (F.col("bytes_cleaned_primary") / F.col("bytes_cleaned") < p_threshold)
+        )
+    max_docs_cleaned = getattr(params, "max_docs_cleaned", None)
+    if max_docs_cleaned:
+        # "domain is done" cap (scheduler.py:521)
+        violates = violates | (F.col("count_cleaned") >= max_docs_cleaned)
     return domains.withColumn(
         "bad", F.col("bad") | F.coalesce(violates, F.lit(False))
     )
 
 
-def merge_counters(domains: DataFrame, docs: DataFrame) -> DataFrame:
+def merge_counters(domains: DataFrame, docs: DataFrame, params=None) -> DataFrame:
     """Add the round's per-domain download/clean counters (A1).
 
     Only pages with accepted text contribute (raw_len is the decoded-html
     length, 0 for rejected pages — process.py:608,641 / scheduler.py:319-329).
+    With MULTILINGUAL params the primary-language clean bytes accumulate in
+    bytes_cleaned_primary (domain.py:219-223, scheduler.py:326-327).
     """
-    per_dom = (
-        docs.filter(F.col("raw_len") > 0)
-        .groupBy("scheme", "host")
-        .agg(
-            F.count("*").alias("d_count"),
-            F.sum("raw_len").alias("d_bytes"),
-            F.sum(F.when(F.col("txt_len") > 0, 1).otherwise(0)).alias("c_count"),
-            F.sum("txt_len").alias("c_bytes"),
+    multilingual = params is not None and getattr(params, "multilingual", False)
+    primary = tuple(getattr(params, "primary_languages", ())) if multilingual else ()
+    aggs = [
+        F.count("*").alias("d_count"),
+        F.sum("raw_len").alias("d_bytes"),
+        F.sum(F.when(F.col("txt_len") > 0, 1).otherwise(0)).alias("c_count"),
+        F.sum("txt_len").alias("c_bytes"),
+    ]
+    if multilingual:
+        if primary:
+            is_primary = (F.col("txt_len") > 0) & F.col("lang").isin(*primary)
+        else:
+            is_primary = F.lit(False)
+        aggs.append(
+            F.sum(F.when(is_primary, F.col("txt_len")).otherwise(0)).alias("p_bytes")
         )
-    )
+    per_dom = docs.filter(F.col("raw_len") > 0).groupBy("scheme", "host").agg(*aggs)
     merged = (
         domains.join(per_dom, ["scheme", "host"], "left")
         .withColumn(
@@ -156,6 +180,11 @@ def merge_counters(domains: DataFrame, docs: DataFrame) -> DataFrame:
         )
         .drop("d_count", "d_bytes", "c_count", "c_bytes")
     )
+    if multilingual:
+        merged = merged.withColumn(
+            "bytes_cleaned_primary",
+            F.col("bytes_cleaned_primary") + F.coalesce("p_bytes", F.lit(0)),
+        ).drop("p_bytes")
     return merged
 
 

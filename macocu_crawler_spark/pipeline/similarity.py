@@ -66,6 +66,61 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def cosine_pairs_lsh(
+    embeddings: DataFrame, threshold: float = 0.3, n_planes: int = 4
+) -> DataFrame:
+    """Embedding near-dup with the LSH bucket as the BLOCKING key — the
+    corpus-scale form of cosine_pairs (no label column needed; the bucket
+    join bounds the pair space, exactly like minhash bands for text).
+    Pairs that straddle a hyperplane are missed by design (recall/cost
+    trade — use more planes/tables per ann_lsh_topk for higher recall)."""
+    b = embeddings.select(
+        "vec_id", "embedding", lsh_bucket_col(n_planes=n_planes).alias("bucket")
+    )
+    a = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(_cos("ea", "eb"), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def cosine_pairs_lsh_oracle(threshold: float = 0.3, n_planes: int = 4) -> str:
+    """DuckDB replica of lsh_bucket_col (table 0) + the bucket-blocked
+    pair join.  Projections are rounded to 6 decimals before the sign test
+    on BOTH sides so cross-engine float-summation order cannot flip a
+    bucket bit."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), pos AS (
+  SELECT vec_id, emb, generate_subscripts(emb, 1) AS i FROM e
+), proj AS (
+  SELECT vec_id, p,
+         round(sum(emb[i] * ((ascii(substr(md5('0:' || p || ':' || (i - 1)), 1, 1)) % 2) * 2 - 1)), 6) AS pr
+  FROM pos, range(0, {n_planes}) AS r(p)
+  GROUP BY vec_id, p
+), bucket AS (
+  SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 2 ** p ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
+FROM bucket a
+JOIN bucket b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= {threshold}
+"""
+
+
 def ann_bruteforce_topk(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
@@ -140,7 +195,9 @@ def lsh_bucket_col(emb: str = "embedding", n_planes: int = 4, table: int = 0):
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        # round before the sign test so cross-engine float-summation order
+        # cannot flip a bucket bit (the DuckDB oracle rounds identically)
+        bucket = bucket + F.when(F.round(proj, 6) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
 

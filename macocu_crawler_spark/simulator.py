@@ -79,8 +79,15 @@ class CrawlParams:
     # exercise the gate.
     min_url_select_start: int = 1
     min_url_select: int = 1
+    # MULTILINGUAL mode (domain.py:239-243, config.py:254-256): domains must
+    # keep bytes_cleaned_primary / bytes_cleaned above the ratio threshold
+    multilingual: bool = config.MULTILINGUAL
+    primary_languages: tuple = tuple(sorted(config.PRIMARY_LANGUAGES))
+    primary_coeff: float = config.PRIMARY_LANG_RATIO_COEFF
     min_docs_downloaded: int = config.MIN_DOCS_DOWNLOADED
     min_bytes_downloaded: int = config.MIN_BYTES_DOWNLOADED
+    # "domain is done" cap (scheduler.py:521); None disables
+    max_docs_cleaned: int | None = config.MAX_DOCS_CLEANED
     yield_coeff: float = 0.002          # config.py:246-248
     max_domain_distance: int = config.MAX_DOMAIN_DISTANCE
     hostname_len_ranges: tuple = tuple(config.DOM_SCHED_HOSTNAME_LEN_RANGES)
@@ -92,6 +99,9 @@ class CrawlParams:
 
     def yield_threshold(self, doc_count: int) -> float:
         return self.yield_coeff * (log10(doc_count) - 1)
+
+    def primary_threshold(self, doc_count: int) -> float:
+        return self.primary_coeff * (log10(doc_count) - 1)
 
     def batch_min(self, batches_emitted: int) -> int:
         """Minimum batch size for the next batch after `batches_emitted`
@@ -135,6 +145,7 @@ class SimDomain:
     count_cleaned: int = 0
     bytes_downloaded: int = 0
     bytes_cleaned: int = 0
+    bytes_cleaned_primary: int = 0  # MULTILINGUAL only (domain.py:43-61)
 
     def robot_allowed(self, agent: str, path: str) -> bool:
         if self.robot_state == "ready":
@@ -298,6 +309,16 @@ class CrawlSimulator:
         if dom.bytes_downloaded and dom.bytes_cleaned / dom.bytes_downloaded < threshold:
             dom.bad = True
             return False
+        # MULTILINGUAL primary-language ratio (domain.py:239-243); guarded
+        # for bytes_cleaned == 0 (reachable only with sub-reference minimum
+        # params, where the reference itself would divide by zero)
+        if self.params.multilingual and dom.bytes_cleaned:
+            if (
+                dom.bytes_cleaned_primary / dom.bytes_cleaned
+                < self.params.primary_threshold(dom.count_downloaded)
+            ):
+                dom.bad = True
+                return False
         return True
 
     # -- waiting rotation + sweep (O2/O7) ---------------------------------------
@@ -336,10 +357,15 @@ class CrawlSimulator:
 
     # -- one round --------------------------------------------------------------
     def run_round(self, round_no: int) -> int:
-        # evaluate efficiency (update_domains, scheduler.py:503-526)
+        # evaluate efficiency + done-cap (update_domains, scheduler.py:503-526)
         for dom in self.domains.values():
             if not dom.bad:
-                self._is_efficient(dom)
+                if (
+                    self._is_efficient(dom)
+                    and self.params.max_docs_cleaned
+                    and dom.count_cleaned >= self.params.max_docs_cleaned
+                ):
+                    dom.bad = True  # scheduler.py:521 "domain is done"
         # O7 waiting rotation, then the O2 sweep (rotation first: the sweep's
         # cap check sees the post-rotation queue)
         if (
@@ -471,6 +497,11 @@ class CrawlSimulator:
                 if row["txt_len"]:
                     dom.count_cleaned += 1
                     dom.bytes_cleaned += row["txt_len"]
+                    if (
+                        self.params.multilingual
+                        and row["lang"] in self.params.primary_languages
+                    ):
+                        dom.bytes_cleaned_primary += row["txt_len"]
             self.result.documents.append(row)
             for reason, bad_url in row["ignored_links"]:
                 self.result.ignored.append((dom.scheme, dom.host, reason, bad_url))

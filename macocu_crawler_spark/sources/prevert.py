@@ -13,7 +13,6 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_DOC_SPLIT_RE = re.compile(r"(?=<doc )")
 _DOC_ID_RE = re.compile(r'<doc id="(\d+)"')
 
 
@@ -41,12 +40,11 @@ def read_prevert(spark: SparkSession, path_glob: str) -> DataFrame:
     (util/remove_duplicates.py:18-66 walks <doc ...> headers).
     """
     raw = spark.read.text(path_glob, wholetext=True)
-
-    def split_docs(text: str):
-        return [part for part in _DOC_SPLIT_RE.split(text) if part.startswith("<doc ")]
-
-    split_udf = F.udf(split_docs, "array<string>")
-    docs = raw.select(F.explode(split_udf(F.col("value"))).alias("prevert"))
+    # JVM-side split on the record-start lookahead (Java regex supports
+    # (?=...)) — no Python UDF anywhere in the source
+    docs = raw.select(
+        F.explode(F.split(F.col("value"), r"(?=<doc )")).alias("prevert")
+    ).filter(F.col("prevert").startswith("<doc "))
     return docs.select(
         F.regexp_extract("prevert", _DOC_ID_RE.pattern, 1).cast("long").alias("wpage_id"),
         "prevert",

@@ -128,11 +128,40 @@ def test_bloom_prefilter_driver_equivalence(spark, fixture_dir, sim_result):
     assert _fetch_log(drv) == sim_prefix
 
 
+def test_multilingual_yield_rule_kills_domain(spark, fixture_dir, fixture_web):
+    """MULTILINGUAL mode (domain.py:239-243): with NO primary language
+    producible, every text-yielding domain dies once past the minimums —
+    simulator and driver agree on fetch log AND bad flags; the same crawl
+    without multilingual keeps those domains alive."""
+    # the primary-ratio threshold is positive only past 10 downloads
+    # (0.05·(log10 n − 1)); a.no needs ~20 rounds to cross it
+    kw = dict(max_rounds=26, min_docs_downloaded=3, min_bytes_downloaded=1024)
+    ml = dict(kw, multilingual=True, primary_languages=())
+    sim_ml = CrawlSimulator(fixture_web, CrawlParams(**ml)).run()
+    sim_plain = CrawlSimulator(fixture_web, CrawlParams(**kw)).run()
+    ml_bad = {k for k, d in sim_ml.domains.items() if d.bad}
+    plain_bad = {k for k, d in sim_plain.domains.items() if d.bad}
+    assert ("http", "a.no") in ml_bad - plain_bad, "primary-ratio rule never bound"
+    drv = CrawlDriver(
+        spark, fixture_dir, tempfile.mkdtemp(), CrawlParams(**ml), checkpoint_every=0,
+    )
+    drv.run()
+    assert _fetch_log(drv) == [(r, s + 1, u) for r, s, u in sim_ml.fetch_log]
+    drv_bad = {(r.scheme, r.host) for r in drv.domains.collect() if r.bad}
+    assert drv_bad == ml_bad
+    drv_primary = {
+        (r.scheme, r.host): r.bytes_cleaned_primary for r in drv.domains.collect()
+    }
+    sim_primary = {k: d.bytes_cleaned_primary for k, d in sim_ml.domains.items()}
+    assert drv_primary == sim_primary
+
+
 @pytest.mark.parametrize(
     "params_kw",
     [
         {"ip_cap": 2},            # IP politeness binds (sameip1-3.no share an IP)
         {"max_url_select": 5},    # O4 global ordered limit binds
+        {"max_docs_cleaned": 2},  # "domain is done" cap binds (scheduler.py:521)
     ],
 )
 def test_capped_params_match_simulator(spark, fixture_dir, fixture_web, params_kw):

@@ -67,10 +67,12 @@ def test_every_query_runs_and_oracles_cover(entrymod):
         "q_politeness_pick", "q_yield_rule", "q_seen_antijoin", "q_semijoin",
         "q_distance_min", "q_broadcast_star", "q_host_queue_counts",
         "q_union_dedup", "q_running_min", "q_doc_len_buckets", "q_date_format",
-        "q_regexp_filter", "q_events_tumbling", "q_url_admission",
+        "q_regexp_filter", "q_events_tumbling", "q_global_seq",
+        "q_queue_sweep", "q_url_admission",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_simhash_groups", "dedup_simhash64", "dedup_simhash64_pairs",
         "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "dedup_embedding_cosine_lsh",
         "ann_bruteforce_topk", "text_token_stats", "text_quality_scores",
         "doc_fingerprints",
     ],

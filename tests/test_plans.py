@@ -81,7 +81,8 @@ class TestPushdownAndPruning:
         empty_domains = spark.createDataFrame(
             [], "scheme string, host string, ip string, distance int, bad boolean,"
             " robot_state string, robot_body string, count_downloaded long,"
-            " count_cleaned long, bytes_downloaded long, bytes_cleaned long")
+            " count_cleaned long, bytes_downloaded long, bytes_cleaned long,"
+            " bytes_cleaned_primary long")
         empty_seen = spark.createDataFrame(
             [], "scheme string, host string, path_sanitised string")
         dns = spark.createDataFrame([("http", "x.no", "1.1.1.1")],
