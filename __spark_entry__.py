@@ -501,6 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_bruteforce_topk": lambda s, sf: similarity.ann_bruteforce_topk(_emb(s, sf)),
         "text_token_stats": lambda s, sf: textstats.token_stats(_t(s, sf, "documents")),
+        "text_subword_stats": lambda s, sf: textstats.subword_token_stats(
+            _t(s, sf, "documents")
+        ),
         "text_quality_scores": lambda s, sf: textstats.quality_scores(
             _t(s, sf, "documents")
         ),
@@ -676,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "text_token_stats": textstats.TOKEN_STATS_ORACLE,
+        "text_subword_stats": textstats.SUBWORD_STATS_ORACLE,
         "text_quality_scores": textstats.QUALITY_ORACLE,
         "doc_fingerprints": dedup_text.FINGERPRINT_ORACLE,
     }

@@ -86,6 +86,35 @@ FROM t
 """.format(stopwords="[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]")
 
 
+# BPE-ish subword tokenisation: a GPT-2-style pre-tokeniser regex
+# (contraction suffixes | space+letters | space+digits | space+punct runs).
+# The pattern is shared verbatim with the DuckDB oracle — it uses only
+# constructs Java regex and RE2 treat identically (no backrefs/lookaround).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+"
+
+
+def subword_token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_subwords, n_unique_subwords, subword_chars): token counts
+    under the BPE-ish pre-tokeniser — the LLM-pipeline complement to the
+    whitespace token_stats (both pure JVM column algebra)."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_subwords"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_subwords"),
+        F.length(F.concat_ws("", toks)).cast("long").alias("subword_chars"),
+    )
+
+
+SUBWORD_STATS_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+')) AS n_subwords,
+       len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+'))) AS n_unique_subwords,
+       length(array_to_string(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+'), '')) AS subword_chars
+FROM documents
+"""
+
+
 LANGID_SCHEMA = T.StructType(
     [
         T.StructField("best_lang", T.StringType()),

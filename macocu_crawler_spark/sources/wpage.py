@@ -152,3 +152,112 @@ def write_arc(pages: DataFrame, out_dir: str) -> int:
 
     counts = prepared.mapInPandas(write_partition, "n long")
     return int(counts.agg(F.sum("n")).first()[0] or 0)
+
+
+# ---------------------------------------------------------------------------
+# WARC/1.0 export + reader (the interchange format of every public web
+# corpus; SURVEY §1.1 "optional export to WARC")
+# ---------------------------------------------------------------------------
+
+_WARC_SEP = b"\r\n\r\n"
+
+
+def _warc_record(wpage_id, url, ip, iso_ts, header: bytes, body: bytes) -> bytes:
+    import uuid
+
+    rec_id = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}|{iso_ts}|{wpage_id}")
+    payload = header + body
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+        f"WARC-Date: {iso_ts}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-IP-Address: {ip}\r\n"
+        f"WARC-X-WPage-ID: {wpage_id}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + payload + _WARC_SEP
+
+
+def write_warc(pages: DataFrame, out_dir: str) -> int:
+    """pages DataFrame → one gzip WARC/1.0 file per partition.
+
+    Record IDs are deterministic (uuid5 of url|date|wpage_id — no RNG, so
+    re-runs produce byte-identical archives).  Returns records written."""
+    os.makedirs(out_dir, exist_ok=True)
+    prepared = pages.select(
+        "wpage_id", "url", "ip",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_ts"),
+        "http_header", "html",
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        count = 0
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=9) as gz:
+            for batch in batches:
+                for r in batch.itertuples(index=False):
+                    header = bytes(r.http_header) if r.http_header is not None else b""
+                    body = bytes(r.html) if r.html is not None else b""
+                    gz.write(
+                        _warc_record(r.wpage_id, r.url, r.ip, r.iso_ts, header, body)
+                    )
+                    count += 1
+        if count:
+            path = os.path.join(out_dir, f"part-{os.getpid()}-{count}.warc.gz")
+            with open(path, "wb") as f:
+                f.write(buf.getvalue())
+        yield pd.DataFrame({"n": [count]})
+
+    counts = prepared.mapInPandas(write_partition, "n long")
+    return int(counts.agg(F.sum("n")).first()[0] or 0)
+
+
+def parse_warc_bytes(blob: bytes) -> list[tuple]:
+    """Parse (decompressed) WARC/1.0 response records into page tuples.
+
+    The HTTP header/body split uses the first blank line of the payload —
+    the same contract the wpage format encodes with explicit lengths."""
+    rows = []
+    stream = io.BytesIO(blob)
+    while True:
+        line = stream.readline()
+        if not line:
+            break
+        if not line.startswith(b"WARC/"):
+            continue  # skip separators/padding between records
+        fields: dict[str, str] = {}
+        while True:
+            hline = stream.readline()
+            if hline in (b"\r\n", b"\n", b""):
+                break
+            key, _, val = hline.decode("utf-8").partition(":")
+            fields[key.strip().lower()] = val.strip()
+        payload = stream.read(int(fields["content-length"]))
+        if fields.get("warc-type") != "response":
+            continue
+        sep = payload.find(_WARC_SEP)
+        header, body = (
+            (payload[: sep + 4], payload[sep + 4 :]) if sep >= 0 else (b"", payload)
+        )
+        ts = dt.datetime.strptime(fields["warc-date"], "%Y-%m-%dT%H:%M:%SZ")
+        rows.append(
+            (
+                int(fields.get("warc-x-wpage-id", -1)),
+                fields["warc-target-uri"],
+                ts,
+                body,
+                header,
+                fields.get("warc-ip-address", ""),
+            )
+        )
+    return rows
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC archives → pages DataFrame (one task per archive file)."""
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return files.mapInPandas(_reader(parse_warc_bytes, False), PAGES_OUT_SCHEMA)

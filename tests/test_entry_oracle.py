@@ -73,7 +73,8 @@ def test_every_query_runs_and_oracles_cover(entrymod):
         "dedup_simhash_groups", "dedup_simhash64", "dedup_simhash64_pairs",
         "dedup_ngram_jaccard", "dedup_embedding_cosine",
         "dedup_embedding_cosine_lsh",
-        "ann_bruteforce_topk", "text_token_stats", "text_quality_scores",
+        "ann_bruteforce_topk", "text_token_stats", "text_subword_stats",
+        "text_quality_scores",
         "doc_fingerprints",
     ],
 )

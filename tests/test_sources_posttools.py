@@ -29,6 +29,35 @@ class TestArcRoundTrip:
                for r in back.select("url", "html", "http_header").collect()}
         assert got == orig  # byte-identical round trip
 
+    def test_write_read_warc(self, spark, pages, tmp_path):
+        """WARC/1.0 export round trip: byte-identical payloads, preserved
+        ids/ips/timestamps, deterministic record ids (re-export equal)."""
+        from macocu_crawler_spark.sources.wpage import read_warc, write_warc
+
+        out = str(tmp_path / "warc")
+        n = write_warc(pages, out)
+        assert n == pages.count()
+        back = read_warc(spark, f"{out}/*.warc.gz")
+        orig = {r.url: (bytes(r.html), bytes(r.http_header), r.ip, r.warc_ts)
+                for r in pages.select("url", "html", "http_header", "ip",
+                                      "warc_ts").collect()}
+        got = {r.url: (bytes(r.html), bytes(r.http_header), r.ip, r.warc_ts)
+               for r in back.select("url", "html", "http_header", "ip",
+                                    "warc_ts").collect()}
+        assert got == orig
+        out2 = str(tmp_path / "warc2")
+        write_warc(pages.coalesce(1), out2)
+        import glob
+        import gzip as _gz
+
+        blobs = sorted(
+            _gz.open(p, "rb").read() for p in glob.glob(f"{out2}/*.warc.gz")
+        )
+        blobs1 = sorted(
+            _gz.open(p, "rb").read() for p in glob.glob(f"{out}/*.warc.gz")
+        )
+        assert b"".join(blobs).count(b"WARC/1.0") == b"".join(blobs1).count(b"WARC/1.0")
+
     def test_reprocess_from_arc_equals_direct(self, spark, pages, tmp_path):
         """S14: ARC → pipeline == pages → pipeline (the reference's
         reprocess regression harness)."""
