@@ -210,6 +210,18 @@ class CrawlDriver:
         return self.spark.createDataFrame([], schema)
 
     @staticmethod
+    def _concurrently(*thunks):
+        """Run independent Spark actions from driver threads (standard
+        concurrent-jobs pattern): small per-round jobs overlap instead of
+        queueing serially, hiding stage-scheduling latency.  Results in
+        thunk order."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+            futures = [ex.submit(t) for t in thunks]
+            return [f.result() for f in futures]
+
+    @staticmethod
     def _pin(df: DataFrame) -> DataFrame:
         """Materialise + truncate lineage (within-round subtrees).
 
@@ -293,14 +305,6 @@ class CrawlDriver:
             )
             return 0
         self.batches_emitted += 1
-        # S-output: fetch log appended to the catalog (never held driver-side)
-        self.catalog.write(
-            "fetch_log",
-            selected.select(
-                F.lit(r).cast("long").alias("round"), F.col("fetch_seq"), "url"
-            ),
-            version=r, metrics={"round": r},
-        )
         # --- mock fetch (U11): join selected vs fixture web ---
         page_sel = selected.filter(~F.col("is_robot") & ~F.col("is_rr"))
         if self._has_redirects:
@@ -333,7 +337,18 @@ class CrawlDriver:
             page_hits.select("wpage_id", "fetch_seq"), "wpage_id"
         )
         docs.persist()
-        n_processed = docs.count()
+        # two independent actions in parallel: the fetch-log append (S-output,
+        # never held driver-side) and the extract materialisation
+        _, n_processed = self._concurrently(
+            lambda: self.catalog.write(
+                "fetch_log",
+                selected.select(
+                    F.lit(r).cast("long").alias("round"), F.col("fetch_seq"), "url"
+                ),
+                version=r, metrics={"round": r},
+            ),
+            docs.count,
+        )
         page_hits.unpersist()
         self.wpage_base += n_processed
         if n_processed:
@@ -345,14 +360,17 @@ class CrawlDriver:
             docs_out = docs.select(*DOC_COLUMNS, "ignored_links").join(
                 dup_ids.withColumn("is_duplicate", F.lit(True)), "wpage_id", "left"
             ).withColumn("is_duplicate", F.coalesce("is_duplicate", F.lit(False)))
-            self.catalog.write("documents", docs_out, version=r, metrics={"round": r})
-            # append-only sets grow by pinned increments (lazy union keeps
-            # the per-round cost O(increment); the union tree stays
-            # shallow); both increments share one materialisation
-            inc = self._pin(
-                new_txt.withColumn("_set", F.lit("t")).unionByName(
-                    new_raw.withColumn("_set", F.lit("r"))
-                )
+            # the documents append and the seen-hash increment pin are
+            # independent actions — concurrent jobs (both read the docs cache)
+            _, inc = self._concurrently(
+                lambda: self.catalog.write(
+                    "documents", docs_out, version=r, metrics={"round": r}
+                ),
+                lambda: self._pin(
+                    new_txt.withColumn("_set", F.lit("t")).unionByName(
+                        new_raw.withColumn("_set", F.lit("r"))
+                    )
+                ),
             )
             self.seen_txt = self.seen_txt.unionByName(
                 inc.filter(F.col("_set") == "t").drop("_set")
@@ -573,23 +591,35 @@ class CrawlDriver:
         # durable snapshot every durable_every rounds (plus at every
         # commit): in between, localCheckpoint truncates lineage; origin
         # statistics multiply only durable_every rounds deep, which stays
-        # bounded (unbounded growth was the round-1 stats bug)
+        # bounded (unbounded growth was the round-1 stats bug).
+        # The three state materialisations are independent — run them as
+        # concurrent Spark jobs (driver threads)
         if r % self.durable_every == 0:
-            self.frontier = self._pin_durable("frontier", new_frontier)
-            self.domains = self._pin_durable("domains", domains2)
+            frontier_pinned, domains_pinned, seen_pinned = self._concurrently(
+                lambda: self._pin_durable("frontier", new_frontier),
+                lambda: self._pin_durable("domains", domains2),
+                lambda: self._pin(new_seen),
+            )
         else:
-            self.frontier = self._pin(new_frontier)
-            self.domains = self._pin(domains2)
-        self.url_seen = self.url_seen.unionByName(self._pin(new_seen))
+            frontier_pinned, domains_pinned, seen_pinned = self._concurrently(
+                lambda: self._pin(new_frontier),
+                lambda: self._pin(domains2),
+                lambda: self._pin(new_seen),
+            )
+        self.frontier = frontier_pinned
+        self.domains = domains_pinned
+        self.url_seen = self.url_seen.unionByName(seen_pinned)
         docs.unpersist()
         selected.unpersist()
         # compact the append-only union chains periodically: beyond ~10 legs
         # the Catalyst analysis of the admission joins dominates the round
         # (observed: planning stall around round 40 without this)
         if r % 8 == 0:
-            self.url_seen = self._pin_durable("url_seen", self.url_seen)
-            self.seen_txt = self._pin_durable("seen_txt", self.seen_txt)
-            self.seen_raw = self._pin_durable("seen_raw", self.seen_raw)
+            self.url_seen, self.seen_txt, self.seen_raw = self._concurrently(
+                lambda: self._pin_durable("url_seen", self.url_seen),
+                lambda: self._pin_durable("seen_txt", self.seen_txt),
+                lambda: self._pin_durable("seen_raw", self.seen_raw),
+            )
         self.metrics.append({"round": r, "selected": n_selected, "processed": n_processed})
         if self.checkpoint_every and r % self.checkpoint_every == 0:
             self.commit()

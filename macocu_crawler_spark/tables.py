@@ -81,10 +81,39 @@ class SnapshotCatalog:
         writer.parquet(path)
         manifest = self._load_manifest(name)
         manifest["versions"] = [v for v in manifest["versions"] if v["version"] != version]
-        manifest["versions"].append({"version": version, "metrics": metrics or {}})
+        manifest["versions"].append(
+            {
+                "version": version,
+                "metrics": metrics or {},
+                # per-partition lineage (north rule): one entry per written
+                # data file with its row count, read from parquet footers —
+                # metadata-only, no extra Spark job.  Resume/debug can see
+                # exactly which partitions a snapshot carries.
+                "lineage": self._partition_lineage(path),
+            }
+        )
         manifest["versions"].sort(key=lambda v: v["version"])
         self._store_manifest(name, manifest)
         return version
+
+    @staticmethod
+    def _partition_lineage(path: str) -> list[dict[str, Any]]:
+        import pyarrow.parquet as pq
+
+        lineage = []
+        for root_dir, _dirs, files in os.walk(path):
+            for fname in sorted(files):
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(root_dir, fname)
+                try:
+                    rows = pq.ParquetFile(fpath).metadata.num_rows
+                except Exception:
+                    rows = None
+                lineage.append(
+                    {"file": os.path.relpath(fpath, path), "rows": rows}
+                )
+        return lineage
 
     def append(self, name: str, df: DataFrame, metrics: dict[str, Any] | None = None) -> int:
         """Append-only tables (documents, checkpoints): each append is its own
