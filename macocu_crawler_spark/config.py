@@ -53,8 +53,11 @@ MIN_URL_SELECT = 300           # config.py:93 (non-BIG_CRAWLING)
 
 def increasing_range(start: int, end: int, step_count: int = 10,
                      repeat_start_count: int = 1) -> list[int]:
-    """util/__init__.py:342-343, verbatim semantics."""
-    return [start] * repeat_start_count + list(range(start, end, end // step_count)) + [end]
+    """util/__init__.py:342-343, verbatim semantics (guarded: end <
+    step_count would make the reference's ``end // step_count`` step 0 and
+    raise — clamp to 1 so tiny test CrawlParams ramp in unit steps)."""
+    step = max(1, end // step_count)
+    return [start] * repeat_start_count + list(range(start, end, step)) + [end]
 MAX_URL_SELECT_PER_DOMAIN = 20 # config.py:269
 MAX_HOST_URL_QUEUE = 200       # config.py:153
 # reference UPDATE_WAITING_QUEUE_PERIOD (3600 s, config.py:146) expressed in

@@ -62,14 +62,12 @@ def _cos_diff(a: Counter, b: Counter) -> float:
 
 
 @lru_cache(maxsize=None)
-def _encoding_models() -> dict[str, Counter]:
-    from .. import config
-
+def _encoding_models_for(langs: tuple[str, ...]) -> dict[str, Counter]:
     sample = "\n".join(
         resources.files("macocu_crawler_spark")
         .joinpath("data", "lang_samples", lang)
         .read_text(encoding="utf-8")
-        for lang in config.LANGUAGES
+        for lang in langs
     )
     models = {}
     for enc in CANDIDATE_ENCODINGS:
@@ -77,6 +75,15 @@ def _encoding_models() -> dict[str, Counter]:
             sample.encode(enc, errors="replace"), max_positions=10**9
         )
     return models
+
+
+def _encoding_models() -> dict[str, Counter]:
+    """Models keyed by the *current* config.LANGUAGES — changing the
+    configured languages after warm-up picks up fresh models (the cache is
+    keyed on the tuple, so no manual cache_clear protocol is needed)."""
+    from .. import config
+
+    return _encoding_models_for(tuple(config.LANGUAGES))
 
 
 def detect_encodings(data: bytes) -> list[str]:

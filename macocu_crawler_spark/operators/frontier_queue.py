@@ -68,21 +68,27 @@ def sweep_frontier(
         round_no % params.waiting_rotate_every == 0
     )
     if rotate:
+        # bad domains are skipped by rotation (crawl.py:169 `if domain.bad:
+        # continue`; simulator._rotate_waiting) — their waiting rows stay put
+        bad_hosts = domains.filter(F.col("bad")).select(
+            *BY_HOST, F.lit(True).alias("_bad")
+        )
         qcounts = queued.groupBy(*BY_HOST).agg(F.count("*").alias("n_queued"))
         w_wait = Window.partitionBy(*BY_HOST).orderBy("q_round", "q_phase", "q_rank")
         ranked = (
-            waiting.withColumn("wrn", F.row_number().over(w_wait))
+            waiting.join(bad_hosts, BY_HOST, "left")
+            .withColumn("wrn", F.row_number().over(w_wait))
             .join(qcounts, BY_HOST, "left")
             .withColumn(
                 "headroom",
                 F.lit(cap + 1) - F.coalesce("n_queued", F.lit(0)),
             )
         )
+        promotable = F.col("_bad").isNull() & (F.col("wrn") <= F.col("headroom"))
         promoted = _as_frontier(
-            _with_queue_key(ranked.filter(F.col("wrn") <= F.col("headroom")),
-                            round_no, 0, "wrn")
+            _with_queue_key(ranked.filter(promotable), round_no, 0, "wrn")
         )
-        waiting = _as_frontier(ranked.filter(F.col("wrn") > F.col("headroom")))
+        waiting = _as_frontier(ranked.filter(~promotable))
         queued = queued.unionByName(promoted)
 
     # --- sweep (phase 1) ---

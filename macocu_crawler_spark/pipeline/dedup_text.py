@@ -219,42 +219,59 @@ SIMHASH64_BANDS = 4
 SIMHASH64_BAND_BITS = 16
 
 
-def simhash64_bands(documents: DataFrame) -> DataFrame:
-    """(doc_id, band, band_val): 4 × 16-bit SimHash bands per doc."""
+def _simhash64_wide(documents: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3): the four 16-bit band values, one row per doc.
+
+    Plan shape (the scale-critical part): md5 runs ONCE per token, then the
+    64 bit-position sums are 64 parallel `sum()` aggregates over that single
+    token row — a hash aggregate with map-side partial combine, so the
+    shuffle carries ONE combined 64-long row per (doc, map partition).  The
+    previous plan exploded `sequence(0,63)` per token (64× shuffle rows,
+    ~10^8 at sf0.1, 17 s); this one is a single groupBy(doc_id).
+    """
     tok = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
     h = F.concat(F.md5("tok"), F.md5(F.concat(F.lit("s:"), F.col("tok"))))
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
-        h.alias("h"),
-    ).withColumn(
-        "contrib",
-        (F.ascii(F.substring(F.col("h"), F.col("j") + 1, 1)) % 2) * 2 - 1,
+    hashed = tok.select("doc_id", h.alias("h"))
+    sums = [
+        F.sum((F.ascii(F.substring("h", j + 1, 1)) % 2) * 2 - 1).alias(f"s{j}")
+        for j in range(64)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*sums)
+
+    def band_val(b: int):
+        terms = [
+            F.when(F.col(f"s{j}") >= 0, F.lit(1 << (j % SIMHASH64_BAND_BITS)))
+            .otherwise(F.lit(0))
+            for j in range(b * SIMHASH64_BAND_BITS, (b + 1) * SIMHASH64_BAND_BITS)
+        ]
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = expr + t
+        return expr.cast("long").alias(f"b{b}")
+
+    return wide.select("doc_id", *[band_val(b) for b in range(SIMHASH64_BANDS)])
+
+
+def simhash64_bands(documents: DataFrame) -> DataFrame:
+    """(doc_id, band, band_val): 4 × 16-bit SimHash bands per doc."""
+    wide = _simhash64_wide(documents)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"), F.col(f"b{b}").alias("band_val")
+            )
+            for b in range(SIMHASH64_BANDS)
+        ]
     )
-    return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", F.when(F.col("s") >= 0, 1).otherwise(0))
-        .withColumn("band", (F.col("j") / SIMHASH64_BAND_BITS).cast("int"))
-        .withColumn(
-            "w", F.pow(F.lit(2), F.col("j") % SIMHASH64_BAND_BITS).cast("long")
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.sum(F.col("bit") * F.col("w")).alias("band_val"))
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.band", "p.band_val"
     )
 
 
 def simhash64(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash_hex): the 64-bit fingerprint as 16 hex chars
     (band 0 first) — avoids signed-long overflow portably."""
-    bands = simhash64_bands(documents)
-    per_band = [
-        F.sum(
-            F.when(F.col("band") == b, F.col("band_val"))
-        ).alias(f"b{b}")
-        for b in range(SIMHASH64_BANDS)
-    ]
-    wide = bands.groupBy("doc_id").agg(*per_band)
+    wide = _simhash64_wide(documents)
     hexes = [F.lpad(F.lower(F.hex(F.col(f"b{b}"))), 4, "0") for b in range(SIMHASH64_BANDS)]
     return wide.select("doc_id", F.concat(*hexes).alias("simhash_hex"))
 
@@ -263,23 +280,49 @@ def simhash64_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame
     """(doc_a, doc_b, hamming): near-dup pairs within 64-bit Hamming
     distance ≤ max_hamming, found via the banded equi-join (complete for
     max_hamming ≤ 3 by pigeonhole over 4 bands)."""
-    bands = simhash64_bands(documents)
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
-    cand = (
-        left.join(right, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", F.col("band_val").alias("va"))
-    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", F.col("band_val").alias("vb"))
+    # Each join side carries ALL four band values alongside the exploded
+    # (band, band_val) key, so the full 64-bit Hamming distance is computable
+    # directly on the joined row — no verification re-join, and the expensive
+    # token aggregation appears exactly twice in the plan (the two sides of
+    # the self-join; AQE broadcasts one).  The shuffle key stays
+    # (band, band_val): bounded fan-out, never all-pairs.
+    wide = _simhash64_wide(documents)
+
+    def exploded(side: str) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.col(f"b{b}").alias("band_val"),
+                )
+                for b in range(SIMHASH64_BANDS)
+            ]
+        )
+        return wide.select(
+            F.col("doc_id").alias(f"doc_{side}"),
+            *[F.col(f"b{b}").alias(f"{side}{b}") for b in range(SIMHASH64_BANDS)],
+            F.explode(pairs).alias("p"),
+        ).select(
+            f"doc_{side}",
+            *[f"{side}{b}" for b in range(SIMHASH64_BANDS)],
+            "p.band",
+            "p.band_val",
+        )
+
+    ham = F.lit(0)
+    for b in range(SIMHASH64_BANDS):
+        ham = ham + F.bit_count(F.col(f"x{b}").bitwiseXOR(F.col(f"y{b}")))
     return (
-        cand.join(ba, "doc_a")
-        .join(bb, ["doc_b", "band"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))).alias("hamming"))
+        exploded("x")
+        .withColumnRenamed("doc_x", "doc_a")
+        .join(
+            exploded("y").withColumnRenamed("doc_y", "doc_b"),
+            ["band", "band_val"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -314,7 +357,7 @@ SIMHASH64_PAIRS_ORACLE = (
   WHERE a.doc_id < b.doc_id
 ), ham AS (
   SELECT c.doc_a, c.doc_b,
-         sum(bit_count(xor(x.band_val, y.band_val))) AS hamming
+         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT) AS hamming
   FROM cand c
   JOIN bands x ON x.doc_id = c.doc_a
   JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band

@@ -30,6 +30,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _task_part_id() -> str:
+    """Collision-free archive filename component.
+
+    Spark reuses Python worker processes across partitions, so (pid, count)
+    collides whenever one worker handles two equal-sized partitions — use the
+    task's partitionId (unique within a write job), falling back to uuid4
+    outside a task context (plain-Python tests)."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is not None:
+        return f"{ctx.stageId()}-{ctx.partitionId():05d}"
+    import uuid
+
+    return uuid.uuid4().hex
+
+
 PAGES_OUT_SCHEMA = T.StructType(
     [
         T.StructField("wpage_id", T.LongType()),
@@ -144,8 +161,7 @@ def write_arc(pages: DataFrame, out_dir: str) -> int:
                     gz.write(body)
                     count += 1
         if count:
-            pid = os.getpid()
-            path = os.path.join(out_dir, f"part-{pid}-{count}.arc.gz")
+            path = os.path.join(out_dir, f"part-{_task_part_id()}.arc.gz")
             with open(path, "wb") as f:
                 f.write(buf.getvalue())
         yield pd.DataFrame({"n": [count]})
@@ -207,7 +223,7 @@ def write_warc(pages: DataFrame, out_dir: str) -> int:
                     )
                     count += 1
         if count:
-            path = os.path.join(out_dir, f"part-{os.getpid()}-{count}.warc.gz")
+            path = os.path.join(out_dir, f"part-{_task_part_id()}.warc.gz")
             with open(path, "wb") as f:
                 f.write(buf.getvalue())
         yield pd.DataFrame({"n": [count]})

@@ -143,13 +143,108 @@ class TestMultimodal:
         again = {r.media_id: r.feature for r in extract_features(media).collect()}
         assert all(again[r.media_id] == r.feature for r in rows)
 
-    def test_real_decoder_image_video_marked_todo(self, spark):
+    def test_compressed_formats_still_marked_todo(self, spark):
+        """PNG/MP4 need PIL/ffmpeg (absent here) — the real decoder refuses
+        them rather than faking; 'auto' mode falls back to the marked fake."""
         from macocu_crawler_spark.pipeline.multimodal import _decode_real
 
         with pytest.raises(NotImplementedError):
             _decode_real("image", b"\x89PNG")
         with pytest.raises(NotImplementedError):
             _decode_real("video", b"\x00\x00\x00\x18ftyp")
+
+    def test_real_decoder_covers_every_fixture_kind(self, spark):
+        """decoder='real' (raise-where-unimplemented) succeeds over the
+        WHOLE synthetic media table: BMP images, WAV audio and AVI video are
+        all really decoded — the digest fake is used for no fixture kind."""
+        from macocu_crawler_spark.pipeline.multimodal import (
+            FEATURE_DIM,
+            _decode_fake,
+            extract_features,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, n=24)
+        rows = extract_features(media, decoder="real").collect()
+        assert len(rows) == 24
+        assert {r.kind for r in rows} == {"image", "audio", "video"}
+        assert all(len(r.feature) == FEATURE_DIM for r in rows)
+        # and none of them equals the digest fake of the same payload
+        payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+        import numpy as np
+
+        for r in rows:
+            fake = _decode_fake(r.kind, payloads[r.media_id])
+            assert not np.allclose(np.array(r.feature), fake)
+
+    def test_real_image_decoder(self):
+        import numpy as np
+
+        from macocu_crawler_spark.pipeline.multimodal import (
+            _decode_real,
+            _parse_bmp_rgb,
+            synthetic_bmp,
+        )
+
+        b5, b6 = synthetic_bmp(5), synthetic_bmp(6)
+        f5, f6 = _decode_real("image", b5), _decode_real("image", b6)
+        assert f5.shape == f6.shape == (16,)
+        assert not np.allclose(f5, f6)  # per-index patterns differ
+        assert np.array_equal(f5, _decode_real("image", synthetic_bmp(5)))
+        # odd-width stride padding round-trips exactly
+        from macocu_crawler_spark.pipeline.multimodal import _bmp_bytes, _pattern_rgb
+
+        rgb = _pattern_rgb(3, 33, 24)
+        assert np.array_equal(_parse_bmp_rgb(_bmp_bytes(rgb)), rgb)
+
+    def test_real_video_decoder_routes_through_image_path(self):
+        """AVI frames are decoded with the same DIB layout as BMP and the
+        video feature is the mean of per-frame image features."""
+        import numpy as np
+
+        from macocu_crawler_spark.pipeline.multimodal import (
+            VIDEO_SAMPLE_FRAMES,
+            _decode_real,
+            _image_features,
+            _parse_avi_frames,
+            synthetic_avi,
+        )
+
+        avi = synthetic_avi(2, n_frames=7)
+        frames = _parse_avi_frames(avi)
+        assert len(frames) == 7
+        assert not np.allclose(frames[0], frames[3])
+        idx = np.linspace(0, 6, VIDEO_SAMPLE_FRAMES).round().astype(int)
+        expected = np.mean([_image_features(frames[i]) for i in idx], axis=0)
+        assert np.allclose(_decode_real("video", avi), expected, atol=1e-6)
+
+    def test_resize_media_real(self, spark):
+        import numpy as np
+
+        from macocu_crawler_spark.pipeline.multimodal import (
+            _image_rgb,
+            resize_media,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, n=12)
+        out = resize_media(media, 8, 6)
+        imgs = out.filter("kind = 'image'").collect()
+        assert imgs and all(r.meta_width == 8 and r.meta_height == 6 for r in imgs)
+        for r in imgs:
+            rgb = _image_rgb(bytes(r.payload))
+            assert rgb.shape == (6, 8, 3)
+        # non-image payloads pass through untouched
+        orig_audio = {r.media_id: bytes(r.payload)
+                      for r in media.filter("kind = 'audio'").collect()}
+        for r in out.filter("kind = 'audio'").collect():
+            assert bytes(r.payload) == orig_audio[r.media_id]
+        # nearest-neighbour: resizing to the same size is identity
+        same = resize_media(media, 32, 24).filter("media_id = 0").collect()[0]
+        src = media.filter("media_id = 0").collect()[0]
+        assert np.array_equal(
+            _image_rgb(bytes(same.payload)), _image_rgb(bytes(src.payload))
+        )
 
     def test_real_audio_decoder(self, spark):
         """The audio path is REAL (stdlib wave): distinct frequencies give
