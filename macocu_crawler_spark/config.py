@@ -60,6 +60,10 @@ def increasing_range(start: int, end: int, step_count: int = 10,
     return [start] * repeat_start_count + list(range(start, end, step)) + [end]
 MAX_URL_SELECT_PER_DOMAIN = 20 # config.py:269
 MAX_HOST_URL_QUEUE = 200       # config.py:153
+# global downloader-queue bound (crawl.py:117-132, config.py:136: 1M, or 3M
+# for BIG_MACHINE+BIG_CRAWLING): when the total queued population exceeds
+# this, new sweep/rotation entries go to waiting instead of the queue
+MAX_URL_QUEUE = 1_000_000
 # reference UPDATE_WAITING_QUEUE_PERIOD (3600 s, config.py:146) expressed in
 # rounds of HOST_CONN_INTERVAL (20 s): waiting URLs rotate back into the
 # per-host downloader queue every this many rounds

@@ -25,7 +25,7 @@ from functools import lru_cache
 from importlib import resources
 
 from .. import config
-from . import boilerplate, charset, urlkit
+from . import boilerplate, charset, convert, urlkit
 from .trigram import TrigramModel, lang_difference, model_class
 
 try:  # pragma: no cover - not installed in this environment
@@ -238,21 +238,32 @@ def extract_paragraphs(
             title = ""
         return paragraphs, html_text, title, meta_enc, chared_enc
     if file_type == "txt":
-        try:
-            txt_data, meta_enc, chared_enc = txt_decode(data_bs)
-        except (UnicodeError, ValueError):
+        return _txt_paragraphs(data_bs)
+    if config.CONVERSION_ENABLED and file_type in convert.CONVERTERS:
+        # U3 slice (process.py:300-329): in-process docx/odt zip+XML
+        # extraction → the same txt_decode path an external converter feeds
+        txt_bs = convert.convert_to_txt(file_type, data_bs)
+        if not txt_bs:
             return None
-        paragraphs = [
-            {
-                "text": par_text.strip(),
-                "word_count": len(par_text.split()) if config.SPACE_SEP_TOKENS else 0,
-                "linked_char_count": 0,
-                "dom_path": "p",
-            }
-            for par_text in txt_data.split("\n\n")
-        ]
-        return paragraphs, "", "", meta_enc, chared_enc
+        return _txt_paragraphs(txt_bs)
     return None  # binary file and conversion disabled (process.py:331)
+
+
+def _txt_paragraphs(text_bs: bytes):
+    try:
+        txt_data, meta_enc, chared_enc = txt_decode(text_bs)
+    except (UnicodeError, ValueError):
+        return None
+    paragraphs = [
+        {
+            "text": par_text.strip(),
+            "word_count": len(par_text.split()) if config.SPACE_SEP_TOKENS else 0,
+            "linked_char_count": 0,
+            "dom_path": "p",
+        }
+        for par_text in txt_data.split("\n\n")
+    ]
+    return paragraphs, "", "", meta_enc, chared_enc
 
 
 def any2txt(data_bs: bytes, file_type: str, error_msgs: list[str]):
@@ -354,13 +365,24 @@ NOFOLLOW_RE = re.compile(r"""rel\s*=\s*['"]?nofollow['"]?""", re.I)
 # stripped before comments so legacy <script><!-- ... //--></script> hiding
 # doesn't unbalance the comment strip.
 SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.I | re.S)
+# an UNCLOSED <script>/<style> swallows the rest of the document under lxml
+# (CDATA mode to EOF) — after paired spans are stripped, any opening tag left
+# has no close, so drop from it to EOF to match (COVERAGE.md U4 divergence
+# (a), closed in round 3; the paragraph path already behaves this way via
+# html.parser's CDATA mode)
+UNCLOSED_SCRIPT_STYLE_RE = re.compile(r"<(?:script|style)\b.*\Z", re.I | re.S)
 HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 
 
 def iter_hrefs(html_text: str):
     """All <a href> values except rel=nofollow (reference xpath at
     process.py:409: .//a[not(@rel='nofollow')]/@href)."""
-    html_text = HTML_COMMENT_RE.sub("", SCRIPT_STYLE_RE.sub("", html_text))
+    # paired script/style spans first (script bodies may contain "<!--"),
+    # then comments (which may contain unclosed "<script>"), then any
+    # remaining opening script/style tag is unclosed → swallow to EOF
+    html_text = UNCLOSED_SCRIPT_STYLE_RE.sub(
+        "", HTML_COMMENT_RE.sub("", SCRIPT_STYLE_RE.sub("", html_text))
+    )
     for m in A_HREF_RE.finditer(html_text):
         if NOFOLLOW_RE.search(m.group(0)):
             continue

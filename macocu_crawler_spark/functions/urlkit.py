@@ -406,7 +406,13 @@ def check_url_reason_col(scheme: Column, host: Column, path: Column) -> Column:
             F.lit("path-repetitive"),
         )
         .when(path.rlike(r"(?i)\.(?:%s)$" % BAD_FILE_EXTENSIONS), F.lit("path-bad-file-type"))
-        .when(path.rlike(r"(?i)\.(?:doc|docx|odt|pdf|ps)$"), F.lit("path-binary-file"))
+        .when(
+            # with conversion enabled, binary-doc paths are fetched and
+            # converted instead of routed to the binfile sink (http.py:211)
+            path.rlike(r"(?i)\.(?:doc|docx|odt|pdf|ps)$")
+            & F.lit(not config.CONVERSION_ENABLED),
+            F.lit("path-binary-file"),
+        )
         .otherwise(F.lit(None).cast("string"))
     )
 

@@ -57,11 +57,20 @@ def sweep_frontier(
 ) -> DataFrame:
     """One round's rotation + sweep over the status'd frontier."""
     cap = params.max_host_url_queue
+    gcap = params.max_url_queue
     k = params.max_url_select_per_domain
 
     pending = frontier.filter(F.col("status") == "pending")
     queued = frontier.filter(F.col("status") == "queued")
     waiting = frontier.filter(F.col("status") == "waiting")
+
+    # global downloader-queue bound (crawl.py:117-132): evaluated once per
+    # phase against the then-current queue, like the reference's per-batch
+    # q_urls_full — a 1-row aggregate broadcast, no driver action
+    def q_full_of(qdf: DataFrame) -> DataFrame:
+        return F.broadcast(
+            qdf.groupBy().agg((F.count("*") > gcap).alias("_q_full"))
+        )
 
     # --- waiting rotation (phase 0) ---
     rotate = bool(params.waiting_rotate_every) and (
@@ -79,12 +88,17 @@ def sweep_frontier(
             waiting.join(bad_hosts, BY_HOST, "left")
             .withColumn("wrn", F.row_number().over(w_wait))
             .join(qcounts, BY_HOST, "left")
+            .crossJoin(q_full_of(queued))
             .withColumn(
                 "headroom",
                 F.lit(cap + 1) - F.coalesce("n_queued", F.lit(0)),
             )
         )
-        promotable = F.col("_bad").isNull() & (F.col("wrn") <= F.col("headroom"))
+        promotable = (
+            ~F.col("_q_full")
+            & F.col("_bad").isNull()
+            & (F.col("wrn") <= F.col("headroom"))
+        )
         promoted = _as_frontier(
             _with_queue_key(ranked.filter(promotable), round_no, 0, "wrn")
         )
@@ -108,11 +122,14 @@ def sweep_frontier(
         pend_r.filter(F.col("_ready").isNull() | (F.col("prn") > k))
     )
     qcounts2 = queued.groupBy(*BY_HOST).agg(F.count("*").alias("n_queued2"))
-    pulled = pulled.join(qcounts2, BY_HOST, "left").withColumn(
-        "nq", F.coalesce("n_queued2", F.lit(0))
+    pulled = (
+        pulled.join(qcounts2, BY_HOST, "left")
+        .crossJoin(q_full_of(queued))  # post-rotation queue, as in the sim
+        .withColumn("nq", F.coalesce("n_queued2", F.lit(0)))
     )
-    # sequential cap semantics: entry i enqueues iff nq + (i-1) <= cap
-    fits = F.col("nq") + F.col("prn") - 1 <= cap
+    # sequential cap semantics: entry i enqueues iff nq + (i-1) <= cap,
+    # AND the global bound was not already exceeded pre-sweep
+    fits = ~F.col("_q_full") & (F.col("nq") + F.col("prn") - 1 <= cap)
     enqueued = _as_frontier(
         _with_queue_key(pulled.filter(fits), round_no, 1, "prn")
     )

@@ -68,6 +68,10 @@ class CrawlParams:
     # O7: per-host downloader-queue cap; overflow → waiting
     # (reference crawl.py:134-141)
     max_host_url_queue: int = config.MAX_HOST_URL_QUEUE
+    # global downloader-queue bound (crawl.py:117-132): q_urls_full is
+    # evaluated ONCE per update batch — here once per sweep/rotation — and
+    # while it holds, every entry goes to waiting regardless of host headroom
+    max_url_queue: int = config.MAX_URL_QUEUE
     # waiting URLs rotate back every this many rounds (crawl.py:160-217,
     # UPDATE_WAITING_QUEUE_PERIOD in rounds)
     waiting_rotate_every: int = config.WAITING_ROTATE_ROUNDS
@@ -328,6 +332,8 @@ class CrawlSimulator:
         The reference's global byte-chunked file rotation is a RAM bound,
         not an ordering device — per host the FIFO order is identical."""
         cap = self.params.max_host_url_queue
+        if self._queued_total() > self.params.max_url_queue:
+            return  # globally full: nothing rotates in (crawl.py:118,136-140)
         for key in sorted(self.domains, key=lambda k: (k[1], k[0])):
             dom = self.domains[key]
             if dom.bad or not dom.waiting:
@@ -337,6 +343,9 @@ class CrawlSimulator:
                 dom.queue.append(dom.waiting.pop(0))
                 headroom -= 1
 
+    def _queued_total(self) -> int:
+        return sum(len(d.queue) for d in self.domains.values())
+
     def _sweep(self) -> None:
         """scheduler.py:126-128 + domain.py:169-209: each ready domain moves
         ≤ max_url_select_per_domain paths pending→queue per sweep (one sweep
@@ -344,13 +353,16 @@ class CrawlSimulator:
         the per-host waiting FIFO, NOT back to pending."""
         cap = self.params.max_host_url_queue
         k = self.params.max_url_select_per_domain
+        # global bound, evaluated once per sweep like the reference's
+        # per-batch q_urls_full (crawl.py:118)
+        q_full = self._queued_total() > self.params.max_url_queue
         for key in sorted(self.domains, key=lambda k_: (k_[1], k_[0])):
             dom = self.domains[key]
             if dom.bad or dom.ip is None or dom.robot_state not in ("ready", "empty"):
                 continue
             pulled, dom.pending = dom.pending[:k], dom.pending[k:]
             for path, _batch, _seq in pulled:
-                if len(dom.queue) <= cap:
+                if not q_full and len(dom.queue) <= cap:
                     dom.queue.append(path)
                 else:
                     dom.waiting.append(path)

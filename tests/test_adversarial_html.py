@@ -67,6 +67,39 @@ class TestAdversarialHtml:
         assert "/ekte.html" in paths
         assert "/felle.html" not in paths
 
+    def test_unclosed_script_swallows_rest_like_lxml(self):
+        """lxml's CDATA mode runs an unclosed <script> to EOF — text AND
+        links after it must vanish (COVERAGE.md U4 divergence (a), closed)."""
+        row = _run(
+            f"<html><body><p>{GOOD} <a href='/ekte.html'>ok</a></p>"
+            "<script>var x = '<a href=\"/felle.html\">x</a>'; // never closed"
+            f"<p>usynlig tekst</p><a href='/borte.html'>borte</a>"
+        )
+        assert "Kommunestyret" in row["text"]
+        assert "usynlig" not in row["text"]
+        paths = {p for _s, _h, p in row["links"]}
+        assert "/ekte.html" in paths
+        assert "/felle.html" not in paths
+        assert "/borte.html" not in paths
+
+    def test_unclosed_style_swallows_rest_like_lxml(self):
+        row = _run(
+            f"<html><body><p>{GOOD}</p><style>.x {{color: red}}"
+            f"<a href='/skjult.html'>skjult</a>"
+        )
+        assert "Kommunestyret" in row["text"]
+        assert "/skjult.html" not in {p for _s, _h, p in row["links"]}
+
+    def test_commented_out_script_does_not_swallow(self):
+        """An unclosed <script> inside a comment is comment text — the
+        document after the comment survives."""
+        row = _run(
+            "<html><body><!-- <script>var x = 1; -->"
+            f"<p>{GOOD} <a href='/ekte.html'>ok</a></p></body></html>"
+        )
+        assert "Kommunestyret" in row["text"]
+        assert "/ekte.html" in {p for _s, _h, p in row["links"]}
+
     def test_comment_with_angle_brackets(self):
         row = _run(
             f"<html><body><!-- <p>skjult</p> --><p>{GOOD}</p></body></html>"

@@ -85,6 +85,60 @@ def test_waiting_rotation_recovers_urls(queue_web):
     assert {u for _, _, u in capped.fetch_log} == {u for _, _, u in uncapped.fetch_log}
 
 
+GPARAMS = {**QPARAMS, "max_url_queue": 6}  # global bound that BINDS
+
+
+def test_global_queue_cap_binds_in_simulator(queue_web):
+    """MAX_URL_QUEUE (crawl.py:117-132): with a tiny global bound, sweeps
+    route entries to waiting even for hosts with per-host headroom — the
+    capped run holds strictly more waiting URLs than the uncapped run."""
+    capped = CrawlSimulator(
+        queue_web, CrawlParams(**{**GPARAMS, "max_rounds": 6})
+    ).run()
+    uncapped = CrawlSimulator(
+        queue_web, CrawlParams(**{**QPARAMS, "max_rounds": 6})
+    ).run()
+    n_wait_capped = sum(len(d.waiting) for d in capped.domains.values())
+    n_wait_uncapped = sum(len(d.waiting) for d in uncapped.domains.values())
+    assert n_wait_capped > n_wait_uncapped, "global cap never bound"
+    # and at least one host was pushed to waiting while UNDER its host cap —
+    # only the global bound explains that
+    assert any(
+        d.waiting and len(d.queue) < GPARAMS["max_host_url_queue"]
+        for d in capped.domains.values()
+    )
+
+
+def test_global_queue_cap_recovers_all_urls(queue_web):
+    """Fetches drain the queue below the bound, rotation feeds waiting back:
+    the eventual fetch set equals the uncapped fetch set."""
+    capped = CrawlSimulator(
+        queue_web, CrawlParams(**{**GPARAMS, "max_rounds": 60})
+    ).run()
+    uncapped = CrawlSimulator(
+        queue_web, CrawlParams(max_rounds=60)
+    ).run()
+    assert {u for _, _, u in capped.fetch_log} == {
+        u for _, _, u in uncapped.fetch_log
+    }
+
+
+def test_global_queue_cap_driver_equivalence(spark, queue_web, queue_dir):
+    """Driver == simulator while the GLOBAL queue bound binds (the
+    commit-4eef9f8 binding-cap pattern for MAX_URL_QUEUE)."""
+    sim = CrawlSimulator(queue_web, CrawlParams(**GPARAMS)).run()
+    drv = CrawlDriver(
+        spark, queue_dir, tempfile.mkdtemp(), CrawlParams(**GPARAMS),
+        checkpoint_every=0,
+    )
+    drv.run()
+    assert _logs(drv) == [(r, s + 1, u) for r, s, u in sim.fetch_log]
+    spark_seen = {
+        (r.scheme, r.host, r.path_sanitised) for r in drv.url_seen.collect()
+    }
+    assert spark_seen == sim.url_seen
+
+
 def test_queue_caps_driver_equivalence(spark, queue_web, queue_dir):
     """Driver == simulator with all caps binding: fetch order, URL-seen."""
     params = CrawlParams(**QPARAMS)
