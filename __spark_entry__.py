@@ -463,9 +463,29 @@ def q_langid_trigram(spark, sf):
     return textstats.langid_trigram(_docs(spark, sf))
 
 
+ANN_RECALL_FLOOR = 0.8
+
+
 def q_ann_lsh(spark, sf):
-    # rows carry their own quality gate: per-query recall@k vs brute force
-    return similarity.ann_lsh_with_recall(_emb(spark, sf))
+    """Rows carry per-query recall@k vs brute force, PLUS a summary row
+    (query_id = -1, cos = mean recall) that exists ONLY while mean recall
+    clears the 0.8 floor — so a recall regression changes the entry's row
+    count in CORRECTNESS, not just a pytest assertion (VERDICT r2 #8)."""
+    df = similarity.ann_lsh_with_recall(_emb(spark, sf))
+    per_query = df.select("query_id", "recall_at_k").dropDuplicates(["query_id"])
+    gate = (
+        per_query.groupBy()
+        .agg(F.round(F.avg("recall_at_k"), 4).alias("mean_recall"))
+        .filter(F.col("mean_recall") >= ANN_RECALL_FLOOR)
+        .select(
+            F.lit(-1).cast("long").alias("query_id"),
+            F.lit(-1).cast("long").alias("neighbor_id"),
+            F.col("mean_recall").alias("cos"),
+            F.lit(0).cast("int").alias("rank"),
+            F.col("mean_recall").alias("recall_at_k"),
+        )
+    )
+    return df.unionByName(gate)
 
 
 # ---------------------------------------------------------------------------

@@ -304,6 +304,83 @@ def run_skew_bench(n_hot: int = 1_000_000, n_cold_hosts: int = 2000,
         spark.stop()
 
 
+def run_ip_skew_bench(n_urls: int = 500_000, n_hosts: int = 50_000) -> dict:
+    """Many-hosts-one-IP politeness skew (VERDICT r2 #6): the same
+    select_urls frontier with (a) uniform host→IP mapping and (b) half the
+    hosts behind ONE CDN IP.  The per-IP window compiles to a map-side
+    Partial WindowGroupLimit (asserted in TestSchedulerPlanShape), so the
+    hot IP is capped at ip_cap rows per map task before the shuffle and the
+    skewed run must stay within noise of the uniform run."""
+    import pyspark.sql.functions as F
+
+    from macocu_crawler_spark.operators.scheduler_round import select_urls
+    from macocu_crawler_spark.simulator import CrawlParams
+
+    spark = make_spark(CPUS)
+    try:
+        frontier = (
+            spark.range(n_urls)
+            .select(
+                F.lit("http").alias("scheme"),
+                F.concat(F.lit("host"), F.col("id") % n_hosts).alias("host"),
+                F.concat(F.lit("/p"), F.col("id"), F.lit(".html")).alias("path"),
+                F.concat(F.lit("/p"), F.col("id"), F.lit(".html")).alias("path_sanitised"),
+                (F.col("id") % 7).alias("batch_id"),
+                F.col("id").alias("seq"),
+                F.lit("queued").alias("status"),
+                F.lit(1).alias("q_round"),
+                F.lit(1).alias("q_phase"),
+                (F.col("id") / n_hosts).cast("int").alias("q_rank"),
+            )
+            .repartition(CPUS * 3, "host")
+            .cache()
+        )
+        frontier.count()
+        params = CrawlParams()
+        result = {"frontier_rows": n_urls, "hosts": n_hosts}
+        for label, ip_col in (
+            ("uniform_ips", F.concat(F.lit("10.0."), F.col("id") % 200,
+                                     F.lit("."), F.col("id") % 250)),
+            # half the hosts behind one CDN IP
+            ("one_cdn_ip_half_hosts", F.when(F.col("id") % 2 == 0,
+                                             F.lit("203.0.113.7"))
+             .otherwise(F.concat(F.lit("10.0."), F.col("id") % 200,
+                                 F.lit("."), F.col("id") % 250))),
+        ):
+            domains = (
+                spark.range(n_hosts)
+                .select(
+                    F.lit("http").alias("scheme"),
+                    F.concat(F.lit("host"), F.col("id")).alias("host"),
+                    ip_col.alias("ip"),
+                    F.lit(1).alias("distance"),
+                    F.lit(False).alias("bad"),
+                    F.lit("empty").alias("robot_state"),
+                    F.lit(None).cast("string").alias("robot_body"),
+                    *[F.lit(0).cast("long").alias(c) for c in (
+                        "count_downloaded", "count_cleaned",
+                        "bytes_downloaded", "bytes_cleaned")],
+                )
+                .cache()
+            )
+            domains.count()
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                n_sel = select_urls(frontier, domains, params).count()
+                best = (time.time() - t0) if best is None else min(best, time.time() - t0)
+            result[label] = {"sec": round(best, 2), "selected": n_sel}
+            domains.unpersist()
+            log(f"ip_skew {label}: {n_sel} selected in {best:.1f}s")
+        frontier.unpersist()
+        result["skew_slowdown"] = round(
+            result["one_cdn_ip_half_hosts"]["sec"]
+            / max(result["uniform_ips"]["sec"], 1e-9), 3)
+        return result
+    finally:
+        spark.stop()
+
+
 def run_controls() -> dict:
     """Hardware-ceiling controls: the same 8→32-core comparison for (a) a
     pure-ALU Python workload and (b) a pure-JVM hash aggregation.  These
@@ -378,6 +455,7 @@ def main() -> None:
     crawl = run_crawl_rounds(pages_dir)
     scheduler = run_scheduler_microbench()
     skew = run_skew_bench()
+    ip_skew = run_ip_skew_bench()
     queries = run_queries()
     controls = run_controls()
     headline = scaling[CPUS]["urls_per_sec"]
@@ -398,6 +476,7 @@ def main() -> None:
         "crawl_rounds": crawl,
         "scheduler_select": scheduler,
         "hot_host_skew": skew,
+        "cdn_ip_skew": ip_skew,
     }
     print(json.dumps(out))
 

@@ -642,22 +642,33 @@ class CrawlDriver:
 
     @property
     def duplicates(self) -> DataFrame:
-        """S11: duplicate wpage ids — the is_duplicate flag on documents."""
+        """S11: duplicate wpage ids — the is_duplicate flag on documents.
+
+        Pruned at the scan (VERDICT r2 #9): the explicit 2-column select
+        before the filter keeps the parquet ReadSchema to
+        (wpage_id, is_duplicate) with the flag as a pushed filter — a
+        10^5-round catalog never reads document text to list duplicate ids
+        (asserted by TestAccessorPlanPruning)."""
         try:
             docs = self.catalog.read_all(self.spark, "documents")
         except FileNotFoundError:
             return self.spark.createDataFrame([], "wpage_id long")
-        return docs.filter(F.col("is_duplicate")).select("wpage_id")
+        return (
+            docs.select("wpage_id", "is_duplicate")
+            .filter(F.col("is_duplicate"))
+            .select("wpage_id")
+        )
 
     @property
     def ignored(self) -> DataFrame:
-        """S7: per-document ignored-link arrays, exploded at read time."""
+        """S7: per-document ignored-link arrays, exploded at read time —
+        the scan reads only (scheme, host, ignored_links), never text."""
         schema = "src_scheme string, src_host string, reason string, url string"
         try:
             docs = self.catalog.read_all(self.spark, "documents")
         except FileNotFoundError:
             return self.spark.createDataFrame([], schema)
-        return docs.select(
+        return docs.select("scheme", "host", "ignored_links").select(
             F.col("scheme").alias("src_scheme"),
             F.col("host").alias("src_host"),
             F.explode("ignored_links").alias("ig"),

@@ -168,4 +168,69 @@ class TestSchedulerPlanShape:
         )
         # rank-limit pushdown on the keyed politeness/queue windows
         assert "WindowGroupLimit" in ps
+        # the per-IP politeness window specifically (VERDICT r2 #6): a CDN
+        # IP shared by 10^6 hosts must not collect 10^6 rows in one window
+        # partition — the ip_rn <= ip_cap filter must push down to a
+        # PARTIAL WindowGroupLimit on [ip] (map-side cap before the
+        # shuffle), bounding the skewed key at ip_cap rows per map task
+        ip_cap = CrawlParams().ip_cap
+        assert re.search(
+            rf"WindowGroupLimit \[ip#\d+\],.*row_number\(\), {ip_cap}, Partial",
+            ps,
+        ), "per-IP window lacks map-side rank-limit pushdown"
         assert sel.count() == n_hosts  # 1 per host, all under max_url_select
+
+
+class TestAccessorPlanPruning:
+    """VERDICT r2 #9: the duplicates/ignored output accessors union every
+    committed round version — their scans must prune to the columns they
+    need (never text/prevert) and push the is_duplicate filter down."""
+
+    @pytest.fixture()
+    def driver_like(self, spark, tmp_path):
+        """A catalog with two committed 'documents' versions and a minimal
+        object exposing the CrawlDriver accessors (the real driver's crawl
+        loop is irrelevant to the read-path plan)."""
+        from macocu_crawler_spark.crawl_driver import CrawlDriver
+        from macocu_crawler_spark.tables import SnapshotCatalog
+
+        cat = SnapshotCatalog(str(tmp_path / "cat"))
+        schema = (
+            "wpage_id long, scheme string, host string, text string, "
+            "prevert string, is_duplicate boolean, "
+            "ignored_links array<struct<reason:string,url:string>>"
+        )
+        for v in range(2):
+            df = spark.createDataFrame(
+                [
+                    (10 * v + 1, "http", "a.no", "x" * 50, "p" * 50, True,
+                     [("path-bad-file-type", "http://a.no/x.exe")]),
+                    (10 * v + 2, "http", "b.no", "y" * 50, "q" * 50, False, []),
+                ],
+                schema,
+            )
+            cat.write("documents", df, version=v)
+        drv = CrawlDriver.__new__(CrawlDriver)
+        drv.spark = spark
+        drv.catalog = cat
+        return drv
+
+    def test_duplicates_scan_pruned(self, driver_like):
+        df = driver_like.duplicates
+        assert {r.wpage_id for r in df.collect()} == {1, 11}
+        schemas = read_schemas(df)
+        assert schemas, "no parquet scan in accessor plan"
+        for rs in schemas:
+            assert "text" not in rs and "prevert" not in rs, rs
+            assert "wpage_id" in rs
+        assert any("is_duplicate" in p for p in pushed_filters(df))
+
+    def test_ignored_scan_pruned(self, driver_like):
+        df = driver_like.ignored
+        rows = df.collect()
+        assert {(r.reason, r.url) for r in rows} == {
+            ("path-bad-file-type", "http://a.no/x.exe")
+        }
+        for rs in read_schemas(df):
+            assert "text" not in rs and "prevert" not in rs, rs
+            assert "ignored_links" in rs
