@@ -488,6 +488,33 @@ def q_ann_lsh(spark, sf):
     return df.unionByName(gate)
 
 
+def q_ann_ivf(spark, sf, n_queries=10, k=5):
+    """IVF (k-means cell) ANN with the same CORRECTNESS recall gate shape
+    as q_ann_lsh: a (-1, -1, recall, 0) summary row exists only while
+    recall@k vs brute force clears the floor."""
+    emb = _emb(spark, sf)
+    ivf = similarity.ann_ivf_topk(emb, n_queries=n_queries, k=k)
+    bf = similarity.ann_bruteforce_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    gate = (
+        ivf.join(bf, ["query_id", "neighbor_id"], "left")
+        .groupBy()
+        .agg(
+            F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.lit(n_queries * k), 4)
+            .alias("recall")
+        )
+        .filter(F.col("recall") >= ANN_RECALL_FLOOR)
+        .select(
+            F.lit(-1).cast("long").alias("query_id"),
+            F.lit(-1).cast("long").alias("neighbor_id"),
+            F.col("recall").alias("cos"),
+            F.lit(0).cast("int").alias("rank"),
+        )
+    )
+    return ivf.unionByName(gate)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -523,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_groups": lambda s, sf: dedup_text.simhash_dup_groups(
             _docs(s, sf)
         ),
+        "dedup_onion": lambda s, sf: dedup_text.onion_dedup(_docs(s, sf)),
         "dedup_simhash64": lambda s, sf: dedup_text.simhash64(_docs(s, sf)),
         "dedup_simhash64_pairs": lambda s, sf: dedup_text.simhash64_dup_pairs(
             _docs(s, sf)
@@ -550,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible; correctness gated in tests/)
         "langid_trigram": q_langid_trigram,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "crawl_rounds": q_crawl_rounds,
         "crawl_extract": q_crawl_extract,
         "robots_filter": q_robots_filter,
@@ -687,6 +716,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup_text.MINHASH_PAIRS_ORACLE,
         "dedup_simhash": dedup_text.SIMHASH_ORACLE,
         "dedup_simhash_groups": dedup_text.SIMHASH_GROUPS_ORACLE,
+        "dedup_onion": dedup_text.ONION_ORACLE,
         "dedup_simhash64": dedup_text.SIMHASH64_ORACLE,
         "dedup_simhash64_pairs": dedup_text.SIMHASH64_PAIRS_ORACLE,
         "dedup_ngram_jaccard": dedup_text.ngram_jaccard_oracle(threshold=0.5),

@@ -449,3 +449,78 @@ SELECT doc_id,
          AS fingerprint
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# onion-style duplicated-content ratio (paragraph/n-gram resemblance dedup)
+# ---------------------------------------------------------------------------
+# MaCoCu's corpus post-processing deduplicates with onion (SURVEY §1 north
+# star: "onion/MinHash-style near-duplicate detection"): a document is
+# dropped when too large a fraction of its token n-grams was already seen
+# in previously-processed text.  The distributed form: one shuffle keyed by
+# n-gram to find each gram's first-seeing doc (min doc_id — the stable
+# stand-in for onion's stream order), then a per-doc aggregate of the
+# already-seen fraction.  The gram keyspace is huge and near-uniform, so
+# the shuffle is balanced; stop-gram hot keys are handled by AQE skew
+# splitting because the per-gram state is a single min.
+
+ONION_N = 5          # onion's default n-gram order
+ONION_THRESHOLD = 0.5  # drop when >= 50% of n-grams are duplicate
+
+
+def _occurrence_grams(n: int):
+    """All token n-gram occurrences in order (not distinct — onion scores
+    occurrences); docs with < n tokens yield no grams."""
+    return F.expr(
+        f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split(text, ' ')) - {n} + 1),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def onion_dedup(
+    documents: DataFrame, n: int = ONION_N, threshold: float = ONION_THRESHOLD
+) -> DataFrame:
+    """(doc_id, n_grams, n_dup, dup_ratio, keep): onion-style resemblance
+    to previously-seen text.  A gram occurrence is duplicate iff a doc with
+    a smaller doc_id contains the same gram; keep = rounded ratio below
+    threshold."""
+    grams = documents.select("doc_id", F.explode(_occurrence_grams(n)).alias("gram"))
+    w = Window.partitionBy("gram")
+    scored = grams.withColumn(
+        "is_dup", (F.col("doc_id") > F.min("doc_id").over(w)).cast("long")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("is_dup").alias("n_dup"),
+        )
+        .withColumn("dup_ratio", F.round(F.col("n_dup") / F.col("n_grams"), 4))
+        .withColumn("keep", F.col("dup_ratio") < threshold)
+    )
+
+
+ONION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), positions AS (
+  SELECT doc_id, ts, generate_subscripts(ts, 1) AS i FROM tok
+), g AS (
+  SELECT doc_id, array_to_string(ts[i:i+{ONION_N - 1}], ' ') AS gram
+  FROM positions WHERE i <= len(ts) - {ONION_N} + 1
+), m AS (
+  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+), agg AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN g.doc_id > m.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup
+  FROM g JOIN m USING (gram) GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_dup,
+       round(n_dup::DOUBLE / n_grams, 4) AS dup_ratio,
+       round(n_dup::DOUBLE / n_grams, 4) < {ONION_THRESHOLD} AS keep
+FROM agg
+"""

@@ -16,7 +16,11 @@ this simulator and the Spark driver implement:
   enqueueing while the queue holds ≤ max_host_url_queue entries and sending
   overflow to a per-host waiting FIFO (O7, crawl.py:134-141); waiting URLs
   rotate back into the queue every waiting_rotate_every rounds
-  (crawl.py:160-217).  Fetches take the queue head (FIFO) — so a shorter
+  (crawl.py:160-217); while the TOTAL queued population exceeds
+  max_url_queue (crawl.py:117-132, evaluated once per sweep/rotation like
+  the reference's per-batch q_urls_full), every sweep/rotation entry goes
+  to waiting regardless of per-host headroom, and bad domains never rotate
+  (crawl.py:169).  Fetches take the queue head (FIFO) — so a shorter
   path admitted later does NOT jump ahead of already-queued paths, exactly
   as in the reference.  (The reference's under-politeness-contention
   requeue-to-back churn is poll-timing-dependent and is replaced by the

@@ -55,8 +55,8 @@ def test_every_query_runs_and_oracles_cover(entrymod):
     # every oracle-less query is documented as rows-only (non-SQL ops)
     rows_only = set(qs) - set(os_)
     assert rows_only <= {
-        "langid_trigram", "ann_lsh_topk", "crawl_rounds", "crawl_extract",
-        "robots_filter", "multimodal_features",
+        "langid_trigram", "ann_lsh_topk", "ann_ivf_topk", "crawl_rounds",
+        "crawl_extract", "robots_filter", "multimodal_features",
     }
 
 
@@ -71,7 +71,7 @@ def test_every_query_runs_and_oracles_cover(entrymod):
         "q_queue_sweep", "q_url_admission",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_simhash_groups", "dedup_simhash64", "dedup_simhash64_pairs",
-        "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "dedup_onion", "dedup_ngram_jaccard", "dedup_embedding_cosine",
         "dedup_embedding_cosine_lsh",
         "ann_bruteforce_topk", "text_token_stats", "text_subword_stats",
         "text_quality_scores",

@@ -44,6 +44,29 @@ class TestDedup:
         assert len(injected) >= 1
         assert injected[0].n_bands == LSH_BANDS
 
+    def test_onion_dedup_drops_resembling_doc(self, spark):
+        """Onion-style n-gram resemblance: a doc that is a superset of an
+        earlier doc scores a high duplicate ratio and is dropped; unique
+        docs keep; docs shorter than the n-gram order yield no row."""
+        from macocu_crawler_spark.pipeline.dedup_text import onion_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),
+                (2, "a b c d e f g h i j k"),   # superset of doc 1
+                (3, "z y x w v u t s r q"),     # unique
+                (4, "kort"),                    # < ONION_N tokens
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in onion_dedup(docs).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1].keep and out[1].dup_ratio == 0.0  # first-seen wins
+        assert not out[2].keep and out[2].dup_ratio > 0.8
+        assert out[3].keep
+        # occurrence counts: doc 2 has 11 tokens → 7 5-grams, 6 duplicate
+        assert (out[2].n_grams, out[2].n_dup) == (7, 6)
+
     def test_simhash_is_16bit(self, docs):
         from macocu_crawler_spark.pipeline.dedup_text import simhash
 
@@ -91,6 +114,23 @@ class TestSimilarity:
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.8, f"LSH ANN recall {recall:.2f} below 0.8 floor"
+
+    def test_ann_ivf_recall_floor(self, emb):
+        """The IVF (k-means cell) ANN path must clear the same 0.8 recall
+        floor as the LSH path, and be deterministic under the fixed seed."""
+        from macocu_crawler_spark.pipeline.similarity import (
+            ann_bruteforce_topk,
+            ann_ivf_topk,
+        )
+
+        exact = {
+            (r.query_id, r.neighbor_id) for r in ann_bruteforce_topk(emb).collect()
+        }
+        approx = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(emb).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"IVF ANN recall {recall:.2f} below 0.8 floor"
+        again = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(emb).collect()}
+        assert approx == again
 
     def test_ann_lsh_recall_column(self, emb):
         """ann_lsh_with_recall rows carry per-query recall@k; the mean must
