@@ -151,6 +151,66 @@ class TestSimilarity:
         assert a.filter(F.col("c") != 1.0).count() == 0
 
 
+class TestStreamingIngest:
+    def test_streaming_extract_equals_batch(self, spark, fixture_dir, tmp_path):
+        """The FULL extract pipeline under Structured Streaming: pages
+        landing files drained with availableNow through the same
+        mapInPandas stage as the batch path must yield the same accepted,
+        deduped document set (txt_hash level) as batch extract."""
+        from macocu_crawler_spark.operators.extract import extract_documents
+        from macocu_crawler_spark.streaming.ingest import run_ingest
+
+        pages = (
+            spark.read.parquet(f"{fixture_dir}/pages.parquet")
+            .withColumn("wpage_id", F.monotonically_increasing_id())
+            .select("wpage_id", "url", "warc_ts", "html", "http_header", "ip")
+            .cache()
+        )
+        landing = str(tmp_path / "landing")
+        # several landing files → several micro-batches
+        pages.repartition(3).write.parquet(landing)
+        out, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+        run_ingest(spark, landing, out, ckpt)
+
+        streamed = spark.read.parquet(out)
+        batch = extract_documents(pages).filter(F.col("txt_len") > 0)
+        s_hashes = {r.txt_hash for r in streamed.select("txt_hash").collect()}
+        b_hashes = {r.txt_hash for r in batch.select("txt_hash").collect()}
+        assert s_hashes == b_hashes and len(s_hashes) > 0
+        # dedup: one doc per hash in the sink
+        assert streamed.count() == len(s_hashes)
+        # prevert bytes of the kept docs match the batch pipeline for the
+        # same wpage_id (same code path, so byte-identical)
+        kept = {r.wpage_id: r.prevert for r in streamed.collect()}
+        bmap = {r.wpage_id: r.prevert for r in batch.collect()}
+        assert all(bmap[w] == p for w, p in kept.items())
+
+    def test_streaming_ingest_resumes_from_checkpoint(self, spark, fixture_dir, tmp_path):
+        """Exactly-once: draining, adding a new landing file, and draining
+        again with the SAME checkpoint processes only the new file."""
+        from macocu_crawler_spark.streaming.ingest import run_ingest
+
+        pages = (
+            spark.read.parquet(f"{fixture_dir}/pages.parquet")
+            .withColumn("wpage_id", F.monotonically_increasing_id())
+            .select("wpage_id", "url", "warc_ts", "html", "http_header", "ip")
+            .cache()
+        )
+        first = pages.filter("wpage_id % 2 = 0")
+        second = pages.filter("wpage_id % 2 = 1")
+        landing = str(tmp_path / "landing")
+        out, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+        first.coalesce(1).write.mode("append").parquet(landing)
+        run_ingest(spark, landing, out, ckpt)
+        n1 = spark.read.parquet(out).count()
+        second.coalesce(1).write.mode("append").parquet(landing)
+        run_ingest(spark, landing, out, ckpt)
+        df = spark.read.parquet(out)
+        assert df.count() > n1
+        # no wpage_id ingested twice
+        assert df.count() == df.select("wpage_id").distinct().count()
+
+
 class TestStreaming:
     def test_stream_equals_batch(self, spark):
         from macocu_crawler_spark.streaming.windows import (
