@@ -40,7 +40,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the Iceberg table is many file splits and this repartition would
     be a no-op cost-wise; here it is a ~10 MB shuffle that unlocks 32-way
     execution of the token-hash stages (same policy bench.py applies to the
-    reprocess path)."""
+    reprocess path).  Scan-light single-pass queries (exact dedup,
+    bucketing, regex filter, fingerprints) deliberately use the plain scan:
+    shuffling the full text costs more than the one-task scan it would
+    parallelise."""
     return _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -239,7 +242,7 @@ def q_running_min(spark, sf):  # admission running-min distance window
 
 
 def q_doc_len_buckets(spark, sf):  # P10 doc-length bucketing
-    docs = _docs(spark, sf)
+    docs = _t(spark, sf, "documents")  # scan-light: no repartition
     bucket = (
         F.when(F.col("n_chars") >= 1000, "1k+")
         .when(F.col("n_chars") >= 500, "500-1k")
@@ -257,7 +260,7 @@ def q_date_format(spark, sf):  # P9/P14 date handling
 
 
 def q_regexp_filter(spark, sf):  # F1-style regex admission
-    docs = _docs(spark, sf)
+    docs = _t(spark, sf, "documents")  # scan-light: no repartition
     return docs.filter(F.col("text").rlike("join .*join")).select("doc_id", "lang")
 
 
@@ -542,7 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_queue_sweep": q_queue_sweep,
         "q_url_admission": q_url_admission,
         # training-data pipeline ops
-        "dedup_exact": lambda s, sf: dedup_text.exact_dedup(_docs(s, sf)),
+        "dedup_exact": lambda s, sf: dedup_text.exact_dedup(_t(s, sf, "documents")),
         "dedup_minhash_lsh": lambda s, sf: dedup_text.minhash_lsh_pairs(
             _docs(s, sf)
         ),
@@ -573,7 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, sf)
         ),
         "doc_fingerprints": lambda s, sf: dedup_text.fingerprints(
-            _docs(s, sf)
+            _t(s, sf, "documents")
         ),
         # rows-only (non-SQL-expressible; correctness gated in tests/)
         "langid_trigram": q_langid_trigram,
