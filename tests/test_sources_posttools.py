@@ -29,6 +29,29 @@ class TestArcRoundTrip:
                for r in back.select("url", "html", "http_header").collect()}
         assert got == orig  # byte-identical round trip
 
+    def test_no_filename_collision_across_reused_workers(self, spark, pages, tmp_path):
+        """ADVICE r2: Spark reuses Python workers across partitions, so a
+        (pid, record-count) filename collides whenever one worker writes two
+        equal-sized partitions, silently overwriting an archive.  With more
+        equal-sized partitions than cores, worker reuse is guaranteed — every
+        record must still be present and file count must equal partition
+        count."""
+        import glob
+
+        from macocu_crawler_spark.sources.wpage import read_arc, write_arc
+
+        cores = spark.sparkContext.defaultParallelism
+        n_parts = cores * 2
+        # equal-sized partitions: round-robin repartition of a multiple
+        total = pages.count()
+        df = pages.limit(total - total % n_parts).repartition(n_parts)
+        out = str(tmp_path / "arc_many")
+        n = write_arc(df, out)
+        assert n == df.count()
+        files = glob.glob(f"{out}/*.arc.gz")
+        assert len(files) == n_parts, (len(files), n_parts)
+        assert read_arc(spark, f"{out}/*.arc.gz").count() == n
+
     def test_write_read_warc(self, spark, pages, tmp_path):
         """WARC/1.0 export round trip: byte-identical payloads, preserved
         ids/ips/timestamps, deterministic record ids (re-export equal)."""

@@ -343,3 +343,31 @@ class TestUnigramModel:
         latin = UnigramModel("dette er en norsk setning")
         probe = UnigramModel("另一个中文句子 测试用")
         assert cjk.diff(probe) < latin.diff(probe)
+
+
+class TestAdviceRegressions:
+    def test_charset_models_follow_language_config(self, monkeypatch):
+        """ADVICE r2: the encoding models must re-key when config.LANGUAGES
+        changes after warm-up (the lru_cache is keyed on the tuple, not
+        warmed once)."""
+        from macocu_crawler_spark import config
+        from macocu_crawler_spark.functions import charset
+
+        base = charset._encoding_models()
+        monkeypatch.setattr(config, "LANGUAGES", ("English",))
+        narrowed = charset._encoding_models()
+        assert narrowed is not base  # different key → different models
+        # and switching back returns the cached original
+        monkeypatch.setattr(config, "LANGUAGES", ("English", "Norwegian"))
+        assert charset._encoding_models() is base
+
+    def test_increasing_range_tiny_end(self):
+        """ADVICE r2: end < step_count must not raise (step clamps to 1) —
+        reachable via CrawlParams(min_url_select=2..9)."""
+        from macocu_crawler_spark.config import increasing_range
+
+        ramp = increasing_range(1, 5)
+        assert ramp[0] == 1 and ramp[-1] == 5
+        assert ramp == sorted(ramp)
+        # reference semantics preserved where end >= step_count
+        assert increasing_range(1, 300) == [1] + list(range(1, 300, 30)) + [300]
