@@ -31,7 +31,15 @@ DOMAIN_BLACKLIST_EXACT_PATH = None   # config.py:197
 DOMAIN_WHITELIST_PATH = None         # config.py:200
 EXTRACT_EMPTY_PAGE_INTERNAL_LINKS = True   # config.py:207
 EXTRACT_EMPTY_PAGE_EXTERNAL_LINKS = False  # config.py:210
-CONVERSION_ENABLED = False     # config.py:350 (binary doc conversion off)
+# config.py:350 (binary doc conversion, off by default).  Read from the
+# environment so the flag reaches Spark's Python WORKERS, which re-import
+# this module — a driver-side monkeypatch never leaves the driver process.
+# Cluster deploys set spark.executorEnv.MACOCU_CONVERSION_ENABLED=1 (or
+# edit this file, like the reference's config.py workflow); local[*]
+# workers inherit the driver's environment.
+import os as _os
+
+CONVERSION_ENABLED = _os.environ.get("MACOCU_CONVERSION_ENABLED", "") == "1"
 SSL_ENABLED = True             # config.py:115 (INFORMATIONAL: fetch is
                                # mocked in-sandbox; the live-fetch UDF
                                # would honour it)

@@ -2,12 +2,15 @@
 300-329 runs an external converter ladder: antiword/docx2txt/odf2txt/
 pdftotext/ps2ascii subprocesses).
 
-This rebuild implements the two formats that need NO external binary — docx
-and odt are zip archives of XML, extracted here with stdlib zipfile +
-xml.etree from scratch (NOT a port of the reference's vendored
-util/docx2txt / util/odf2txt converters).  doc/pdf/ps still require native
-binaries absent from this environment and stay unimplemented; their types
-route to the binfile channel exactly as before.
+This rebuild implements the formats that need NO external binary — docx
+and odt are zip archives of XML (stdlib zipfile + xml.etree, from scratch,
+NOT a port of the reference's vendored util/docx2txt / util/odf2txt
+converters), and pdf gets a minimal text-operator extractor (stdlib zlib
+for FlateDecode; simple/standard-encoding PDFs only — CID/Type0 font
+encodings come out garbled or empty, exactly the failure mode of a missing
+converter, and are documented out of scope).  doc and ps still require
+native binaries (antiword, ghostscript) absent from this environment and
+stay unimplemented.
 
 Contract (matching the reference's converter stdout): UTF-8 bytes, one
 paragraph per block, blocks separated by a blank line ("\n\n") — the shape
@@ -100,11 +103,148 @@ def odt_to_txt(data_bs: bytes) -> bytes:
     return "\n\n".join(paras).encode("utf-8")
 
 
+# ---------------------------------------------------------------------------
+# pdf (minimal slice: FlateDecode/raw content streams, standard-encoding
+# text operators; complex font encodings/CID fonts are out of scope and
+# yield garbled or empty text exactly as a missing converter would)
+# ---------------------------------------------------------------------------
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_string_bytes(raw: bytes) -> bytes:
+    """Unescape a PDF literal string body ((...) content, parens balanced
+    by the tokenizer): \\n \\r \\t \\b \\f \\( \\) \\\\ \\ddd octal."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _PDF_ESCAPES:
+                out += _PDF_ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():
+                j = i + 1
+                while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # line continuation / unknown escape: drop the backslash
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _pdf_content_text(content: bytes) -> list[str]:
+    """Text runs from one content stream: literal/hex strings consumed by
+    the text-showing operators Tj ' \" TJ; Td/TD/T* start a new run."""
+    runs: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(content)
+
+    def flush() -> None:
+        text = "".join(cur).strip()
+        if text:
+            runs.append(text)
+        cur.clear()
+
+    pending: list[str] = []  # strings seen since the last operator
+    while i < n:
+        c = content[i : i + 1]
+        if c == b"(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                cj = content[j : j + 1]
+                if cj == b"\\":
+                    j += 2
+                    continue
+                if cj == b"(":
+                    depth += 1
+                elif cj == b")":
+                    depth -= 1
+                j += 1
+            pending.append(
+                _pdf_string_bytes(content[i + 1 : j - 1]).decode(
+                    "latin-1", errors="replace"
+                )
+            )
+            i = j
+            continue
+        if c == b"<" and content[i : i + 2] != b"<<":
+            j = content.find(b">", i)
+            if j == -1:
+                break
+            hexstr = re.sub(rb"\s", b"", content[i + 1 : j])
+            if len(hexstr) % 2:
+                hexstr += b"0"
+            try:
+                pending.append(bytes.fromhex(hexstr.decode("ascii")).decode(
+                    "latin-1", errors="replace"
+                ))
+            except ValueError:
+                pass
+            i = j + 1
+            continue
+        m = re.match(rb"(Tj|TJ|T\*|Td|TD|'|\")", content[i:])
+        if m:
+            op = m.group(1)
+            if op in (b"Tj", b"TJ", b"'", b'"'):
+                cur.extend(pending)
+            else:  # Td/TD/T* reposition → run boundary
+                flush()
+            pending.clear()
+            i += len(op)
+            continue
+        if c.isalpha():  # any other operator consumes its string operands
+            while i < n and content[i : i + 1].isalpha():
+                i += 1
+            pending.clear()
+            continue
+        i += 1
+    flush()
+    return runs
+
+
+def pdf_to_txt(data_bs: bytes) -> bytes:
+    """Minimal .pdf → UTF-8 text: every FlateDecode (zlib) or raw content
+    stream is scanned for text-showing operators; one paragraph block per
+    stream, runs joined with newlines."""
+    import zlib
+
+    blocks: list[str] = []
+    try:
+        for m in _STREAM_RE.finditer(data_bs):
+            params, body = m.group(1), m.group(2)
+            body = body.rstrip(b"\r\n")
+            if b"/FlateDecode" in params:
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    continue
+            elif re.search(rb"/Filter", params):
+                continue  # other filters (DCT, LZW...) not offered
+            runs = _pdf_content_text(body)
+            if runs:
+                blocks.append("\n".join(runs))
+    except Exception:
+        return b""
+    return "\n\n".join(blocks).encode("utf-8")
+
+
 # the in-process converter table (reference CONVERSION_COMMANDS,
-# process.py:58-64; doc/pdf/ps need external binaries and are not offered)
+# process.py:58-64; doc/ps need external binaries and are not offered)
 CONVERTERS = {
     "docx": docx_to_txt,
     "odt": odt_to_txt,
+    "pdf": pdf_to_txt,
 }
 
 

@@ -85,10 +85,91 @@ class TestConverters:
     def test_corrupt_archive_yields_empty(self):
         assert convert.docx_to_txt(b"not a zip") == b""
         assert convert.odt_to_txt(b"PK\x03\x04 truncated") == b""
-        assert convert.convert_to_txt("pdf", b"%PDF-1.4") == b""  # not offered
+        assert convert.pdf_to_txt(b"%PDF-1.4") == b""  # no streams
+        assert convert.convert_to_txt("ps", b"%!PS") == b""  # not offered
 
     def test_unknown_type_not_offered(self):
-        assert set(convert.CONVERTERS) == {"docx", "odt"}
+        assert set(convert.CONVERTERS) == {"docx", "odt", "pdf"}
+
+
+def make_pdf(paragraphs: list[str], compress: bool = False) -> bytes:
+    """A minimal valid one-page PDF with one content stream per call; text
+    shown with Tj/TJ and T* run breaks."""
+    import zlib
+
+    ops = ["BT /F1 12 Tf 72 720 Td"]
+    for i, p in enumerate(paragraphs):
+        esc = p.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        if i % 2:  # alternate literal Tj and array TJ forms
+            half = len(esc) // 2
+            ops.append(f"[({esc[:half]}) -250 ({esc[half:]})] TJ T*")
+        else:
+            ops.append(f"({esc}) Tj T*")
+    ops.append("ET")
+    content = " ".join(ops).encode("latin-1")
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    offsets.append(len(out))
+    out += (
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + filt
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    xref = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n"
+        + str(xref).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+class TestPdf:
+    def test_pdf_text_runs(self):
+        out = convert.pdf_to_txt(make_pdf(["Første avsnitt.", "Andre (del) to."]))
+        text = out.decode("utf-8")
+        assert "Første avsnitt." in text
+        assert "Andre (del) to." in text  # TJ array halves rejoined, escapes
+
+    def test_pdf_flate_stream(self):
+        out = convert.pdf_to_txt(make_pdf(["Komprimert tekst her."], compress=True))
+        assert "Komprimert tekst her." in out.decode("utf-8")
+
+    def test_pdf_octal_and_hex_strings(self):
+        pdf = make_pdf([])
+        # splice a content stream using octal escape + hex string
+        raw = b"BT (\\105n) Tj <20> Tj (til) Tj ET"  # "En" + " " + "til"
+        pdf = pdf.replace(b"stream\n", b"stream\n" + raw, 1)
+        text = convert.pdf_to_txt(pdf).decode("utf-8")
+        assert "En til" in text.replace("  ", " ")
+
+    def test_pdf_page_produces_prevert_doc(self, monkeypatch):
+        monkeypatch.setattr(config, "CONVERSION_ENABLED", True)
+        hdr = b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+        row = textkit.process_page(
+            wpage_id=1, url="http://example.no/rapport.pdf",
+            html_bs=make_pdf(
+                [GOOD_NO_PAR, GOOD_NO_PAR + " Og mer tekst om planen."],
+                compress=True,
+            ),
+            http_header=hdr, connect_time="20230815100000", ip="10.0.0.1",
+        )
+        assert row["file_type"] == "pdf"
+        assert row["txt_len"] > 0
+        assert 'file_type="pdf"' in row["prevert"]
 
 
 DOCX_HDR = (
