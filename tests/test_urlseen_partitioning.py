@@ -43,21 +43,23 @@ class TestBloomPrefilter:
         join.  With 12 bits/key + 4 hashes the FP rate is well under 5%."""
         from macocu_crawler_spark.operators.urlseen import (
             _might_contain_udf,
+            _probe_hash_cols,
             _seen_key,
             build_blooms,
         )
 
         blooms = build_blooms(seen)
+        bloom_map = {int(r["bucket"]): bytes(r["bits"])
+                     for r in blooms.select("bucket", "bits").collect()}
+        might = _might_contain_udf(spark.sparkContext.broadcast(bloom_map))
         new_only = candidates.filter(F.col("path_sanitised").startswith("/new"))
-        cand = new_only.withColumn(
+        key = _seen_key(F.col("scheme"), F.col("host"), F.col("path_sanitised"))
+        h1c, h2c = _probe_hash_cols(key)
+        flagged = new_only.withColumn(
             "_bucket", F.pmod(F.xxhash64("host"), F.lit(32)).cast("int")
-        ).withColumn(
-            "_key", _seen_key(F.col("scheme"), F.col("host"), F.col("path_sanitised"))
+        ).withColumn("_h1", h1c).withColumn("_h2", h2c).withColumn(
+            "fp", might(F.col("_bucket"), F.col("_h1"), F.col("_h2"))
         )
-        flagged = cand.join(
-            F.broadcast(blooms.select(F.col("bucket").alias("_bucket"), "bits")),
-            "_bucket", "left",
-        ).withColumn("fp", _might_contain_udf()(F.col("bits"), F.col("_key")))
         fp_rate = flagged.filter("fp").count() / flagged.count()
         assert fp_rate < 0.05, f"false-positive rate {fp_rate:.3f}"
 
