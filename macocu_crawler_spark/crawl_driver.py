@@ -271,8 +271,18 @@ class CrawlDriver:
         self.frontier = self._pin_durable("frontier", new_rows)
         self.url_seen = self._pin_durable("url_seen", new_seen)
         self.domains = self._pin_durable("domains", domains2)
+        self._init_bloom()
         # the remaining state tables are empty at init — they stay
         # in-memory and hit the catalog at the first commit()
+
+    def _init_bloom(self) -> None:
+        """Incremental Bloom over url_seen (derived state — rebuilt from
+        the table on init/resume/overflow, never checkpointed)."""
+        self._bloom = None
+        if getattr(self.params, "use_bloom_prefilter", False):
+            from .operators.urlseen import BloomState
+
+            self._bloom = BloomState.from_url_seen(self.url_seen)
 
     # -- one round ------------------------------------------------------------------
     def run_round(self) -> int:
@@ -514,7 +524,13 @@ class CrawlDriver:
         # pandas UDF would still round-trip the ENTIRE frontier through
         # Python every round (vectorised UDFs don't short-circuit) — the
         # split join keeps the Python pass proportional to the hosts whose
-        # robots just arrived
+        # robots just arrived.  Arrow ships the robots body once per ROW
+        # here; that is one body-copy per frontier row per host LIFETIME
+        # (only the arrival round), parse itself is executor-cached
+        # (_RULES_CACHE).  If a pathological host held 10^5+ pending rows at
+        # robots arrival, the array-agg form (collect paths per host, one
+        # body per group, explode allowed) would cap the transfer — not
+        # worth the per-host memory risk at current scales.
         untouched = frontier.join(newly_ready, ["scheme", "host"], "left_anti")
         checked = (
             frontier.join(newly_ready, ["scheme", "host"])
@@ -570,7 +586,9 @@ class CrawlDriver:
         # the analysed plan replicates the whole extract stage per reference
         links = self._pin(links)
         new_rows, new_seen, domains2 = admit_links(
-            links, domains, self.url_seen, self.dns, round_no=r, params=self.params
+            links, domains, self.url_seen, self.dns, round_no=r,
+            params=self.params,
+            bloom_map=self._bloom.as_map() if self._bloom else None,
         )
         # F13 dead-host purge: drop queued rows of bad domains (GC — they are
         # never selected; purging bounds frontier growth at scale)
@@ -609,6 +627,15 @@ class CrawlDriver:
         self.frontier = frontier_pinned
         self.domains = domains_pinned
         self.url_seen = self.url_seen.unionByName(seen_pinned)
+        if self._bloom is not None:
+            # incremental maintenance: only this round's new keys are
+            # collected (bucket + two int64 hashes per key); a bucket past
+            # its sizing triggers a distributed rebuild from the table
+            self._bloom.add_new_seen(seen_pinned)
+            if self._bloom.over_capacity():
+                from .operators.urlseen import BloomState
+
+                self._bloom = BloomState.from_url_seen(self.url_seen)
         docs.unpersist()
         selected.unpersist()
         # compact the append-only union chains periodically: beyond ~10 legs
@@ -730,6 +757,7 @@ class CrawlDriver:
         self.metrics = meta["metrics"]
         for name in self.STATE_TABLES:
             setattr(self, name, self.catalog.read(self.spark, name, version=self.round_no))
+        self._init_bloom()
         # outputs appended by rounds AFTER the resumed snapshot belong to the
         # crashed run — drop their manifest entries (the re-run overwrites
         # the same versions, so readers never see torn/stale rounds)

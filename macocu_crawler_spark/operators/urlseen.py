@@ -128,7 +128,7 @@ def _might_contain_udf(bloom_map_bc):
 
 def filter_new_candidates(
     candidates: DataFrame, url_seen: DataFrame, n_buckets: int = 32,
-    blooms: DataFrame | None = None,
+    blooms: DataFrame | None = None, bloom_map: dict[int, bytes] | None = None,
 ) -> DataFrame:
     """Drop candidates already in url_seen: Bloom pre-filter + exact
     anti-join (equivalent to a plain anti-join; tested so).
@@ -138,17 +138,21 @@ def filter_new_candidates(
     rounds — on the real system the blooms live in the checkpoint and are
     updated incrementally per round.
     """
-    if blooms is None:
-        blooms = build_blooms(url_seen, n_buckets)
-    # the bloom relation is tiny (n_buckets rows); ship it as an executor
-    # broadcast VARIABLE, not a join column (see _might_contain_udf).  At
-    # 10^10 keys, n_buckets scales with the seen set so each bitset stays
-    # executor-memory-bounded; past broadcast size, the same probe runs
-    # co-partitioned per bucket (mapPartitions over the bucketed layout).
-    bloom_map = {
-        int(r["bucket"]): bytes(r["bits"])
-        for r in blooms.select("bucket", "bits").collect()
-    }
+    if bloom_map is None:
+        if blooms is None:
+            blooms = build_blooms(url_seen, n_buckets)
+        # the bloom relation is tiny (n_buckets rows); ship it as an
+        # executor broadcast VARIABLE, not a join column (see
+        # _might_contain_udf).  At 10^10 keys, n_buckets scales with the
+        # seen set so each bitset stays executor-memory-bounded; past
+        # broadcast size, the same probe runs co-partitioned per bucket
+        # (mapPartitions over the bucketed layout).  Callers running a
+        # round loop pass bloom_map from a BloomState instead — built once,
+        # updated incrementally per round.
+        bloom_map = {
+            int(r["bucket"]): bytes(r["bits"])
+            for r in blooms.select("bucket", "bits").collect()
+        }
     sc = candidates.sparkSession.sparkContext
     might = _might_contain_udf(sc.broadcast(bloom_map))
     key = _seen_key(F.col("scheme"), F.col("host"), F.col("path_sanitised"))
@@ -170,3 +174,70 @@ def filter_new_candidates(
     return definitely_new.unionByName(needs_exact).drop(
         "_bucket", "_h1", "_h2", "_maybe_seen"
     )
+
+
+def probe_hashes(df: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """(bucket, _h1, _h2) for rows carrying (scheme, host, path_sanitised) —
+    the shared JVM-side hash projection of build + probe + increment."""
+    key = _seen_key(F.col("scheme"), F.col("host"), F.col("path_sanitised"))
+    return df.select(
+        F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        *_probe_hash_cols(key),
+    )
+
+
+class BloomState:
+    """Driver-held incremental partitioned Bloom over the url_seen table.
+
+    DERIVED state: admission never trusts it alone (the exact anti-join is
+    authoritative), so it is rebuilt from url_seen on resume rather than
+    checkpointed.  Per round the driver collects only the (bucket, h1, h2)
+    probe hashes of the round's NEW seen rows (a few 10^4 ints) and sets
+    the bits locally — no per-round rescan of the whole seen set, which is
+    the incremental maintenance the round-2 design deferred to "the real
+    system".  When a bucket's key count outgrows its sizing the whole set
+    is rebuilt distributed (build_blooms) at the next maintenance call.
+    """
+
+    def __init__(self, n_buckets: int = 32):
+        self.n_buckets = n_buckets
+        self.bits: dict[int, bytearray] = {}
+        self.n_keys: dict[int, int] = {}
+
+    @classmethod
+    def from_url_seen(cls, url_seen: DataFrame, n_buckets: int = 32) -> "BloomState":
+        state = cls(n_buckets)
+        for r in build_blooms(url_seen, n_buckets).collect():
+            state.bits[int(r["bucket"])] = bytearray(bytes(r["bits"]))
+            state.n_keys[int(r["bucket"])] = int(r["n_keys"])
+        return state
+
+    def add_new_seen(self, new_seen: DataFrame) -> None:
+        """Set the bits of this round's new (scheme, host, path_sanitised)
+        rows.  A bucket not yet present is created at a default sizing."""
+        rows = probe_hashes(new_seen, self.n_buckets).collect()
+        for r in rows:
+            b = int(r["bucket"])
+            arr = self.bits.get(b)
+            if arr is None:
+                arr = bytearray(2048)  # 16 Kbit starter, ~1.3k keys capacity
+                self.bits[b] = arr
+                self.n_keys[b] = 0
+            m_bits = len(arr) * 8
+            h1 = r["_h1"] & 0xFFFFFFFFFFFFFFFF
+            h2 = (r["_h2"] & 0xFFFFFFFFFFFFFFFF) | 1
+            for i in range(N_HASHES):
+                pos = (h1 + i * h2) % m_bits
+                arr[pos >> 3] |= 1 << (pos & 7)
+            self.n_keys[b] += 1
+
+    def over_capacity(self) -> bool:
+        """True when any bucket holds more keys than its bitset was sized
+        for — FP rate degrades past the ~0.3% design point; rebuild."""
+        return any(
+            self.n_keys[b] * BITS_PER_KEY > len(arr) * 8
+            for b, arr in self.bits.items()
+        )
+
+    def as_map(self) -> dict[int, bytes]:
+        return {b: bytes(arr) for b, arr in self.bits.items()}

@@ -108,3 +108,66 @@ class TestSalting:
         factors = host_salt_factors(frontier, threshold=100)
         out = with_salted_key(frontier, factors).collect()
         assert out[0].host_salt == "cold.no"
+
+
+class TestBloomStateIncremental:
+    def test_incremental_adds_never_false_negative(self, spark):
+        """The safety property: every key added (at build OR incrementally)
+        must probe True — a false negative would let a seen URL back in
+        before the exact join catches it (it still would, but the Bloom's
+        value claim dies)."""
+        import pandas as pd
+
+        from macocu_crawler_spark.operators.urlseen import (
+            BloomState,
+            N_HASHES,
+            probe_hashes,
+        )
+
+        base = spark.range(5000).select(
+            F.lit("http").alias("scheme"),
+            F.concat(F.lit("h"), F.col("id") % 97).alias("host"),
+            F.concat(F.lit("/a"), F.col("id")).alias("path_sanitised"),
+        )
+        inc = spark.range(3000).select(
+            F.lit("http").alias("scheme"),
+            F.concat(F.lit("h"), F.col("id") % 97).alias("host"),
+            F.concat(F.lit("/b"), F.col("id")).alias("path_sanitised"),
+        )
+        state = BloomState.from_url_seen(base)
+        state.add_new_seen(inc)
+        bloom_map = state.as_map()
+
+        def probes_true(df) -> bool:
+            rows = probe_hashes(df).collect()
+            for r in rows:
+                arr = bloom_map[int(r["bucket"])]
+                m_bits = len(arr) * 8
+                h1 = r["_h1"] & 0xFFFFFFFFFFFFFFFF
+                h2 = (r["_h2"] & 0xFFFFFFFFFFFFFFFF) | 1
+                for i in range(N_HASHES):
+                    pos = (h1 + i * h2) % m_bits
+                    if not (arr[pos >> 3] >> (pos & 7)) & 1:
+                        return False
+            return True
+
+        assert probes_true(base)
+        assert probes_true(inc)
+
+    def test_over_capacity_flags_growth(self, spark):
+        from macocu_crawler_spark.operators.urlseen import BloomState
+
+        small = spark.range(100).select(
+            F.lit("http").alias("scheme"),
+            F.concat(F.lit("h"), F.col("id") % 7).alias("host"),
+            F.concat(F.lit("/a"), F.col("id")).alias("path_sanitised"),
+        )
+        state = BloomState.from_url_seen(small)
+        assert not state.over_capacity()
+        big = spark.range(40_000).select(
+            F.lit("http").alias("scheme"),
+            F.concat(F.lit("h"), F.col("id") % 7).alias("host"),
+            F.concat(F.lit("/z"), F.col("id")).alias("path_sanitised"),
+        )
+        state.add_new_seen(big)
+        assert state.over_capacity()
