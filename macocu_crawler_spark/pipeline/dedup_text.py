@@ -487,9 +487,13 @@ def onion_dedup(
     a smaller doc_id contains the same gram; keep = rounded ratio below
     threshold."""
     grams = documents.select("doc_id", F.explode(_occurrence_grams(n)).alias("gram"))
-    w = Window.partitionBy("gram")
-    scored = grams.withColumn(
-        "is_dup", (F.col("doc_id") > F.min("doc_id").over(w)).cast("long")
+    # first-seer via partial-aggregated groupBy + equi-join (NOT a window
+    # over the gram partition: a boilerplate gram occurring 10^7 times
+    # would buffer as ONE window group, while the aggregate combines
+    # map-side and the join is AQE-skew-splittable)
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    scored = grams.join(firsts, "gram").withColumn(
+        "is_dup", (F.col("doc_id") > F.col("first_doc")).cast("long")
     )
     return (
         scored.groupBy("doc_id")
