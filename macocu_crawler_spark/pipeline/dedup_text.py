@@ -37,13 +37,19 @@ def tokens_col(text: str = "text"):
 # ---------------------------------------------------------------------------
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
-    """One row per distinct text: winner doc_id + duplicate count."""
-    w = Window.partitionBy("h").orderBy("doc_id")
+    """One row per distinct text: winner doc_id + duplicate count.
+
+    A pure hash aggregate (first-wins = min(doc_id)): map-side combined,
+    no window — a text duplicated 10^7 times contributes one combined row
+    per map partition to the shuffle instead of one window group holding
+    every copy."""
     return (
         documents.select("doc_id", F.md5("text").alias("h"))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count("*").over(Window.partitionBy("h")) - 1)
-        .filter(F.col("rn") == 1)
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            (F.count("*") - 1).alias("dup_count"),
+        )
         .select("doc_id", F.col("h").alias("text_hash"), "dup_count")
     )
 
