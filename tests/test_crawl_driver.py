@@ -128,6 +128,28 @@ def test_bloom_prefilter_driver_equivalence(spark, fixture_dir, sim_result):
     assert _fetch_log(drv) == sim_prefix
 
 
+def test_bloom_prefilter_resume_equivalence(spark, fixture_dir, sim_result):
+    """Resume with use_bloom_prefilter: the derived BloomState is rebuilt
+    from the url_seen snapshot (never checkpointed) and the continued crawl
+    still matches the simulator — _init_bloom's resume path end-to-end."""
+    workdir = tempfile.mkdtemp()
+    drv1 = CrawlDriver(
+        spark, fixture_dir, workdir,
+        CrawlParams(max_rounds=3, use_bloom_prefilter=True), checkpoint_every=3,
+    )
+    drv1.run()
+    del drv1  # "crash"
+    drv2 = CrawlDriver(
+        spark, fixture_dir, workdir,
+        CrawlParams(max_rounds=6, use_bloom_prefilter=True), checkpoint_every=0,
+    )
+    drv2.resume()
+    assert drv2._bloom is not None  # rebuilt from the snapshot
+    drv2.run(max_rounds=3)
+    sim_prefix = [(r, s + 1, u) for r, s, u in sim_result.fetch_log if r <= 6]
+    assert _fetch_log(drv2) == sim_prefix
+
+
 def test_multilingual_yield_rule_kills_domain(spark, fixture_dir, fixture_web):
     """MULTILINGUAL mode (domain.py:239-243): with NO primary language
     producible, every text-yielding domain dies once past the minimums —
