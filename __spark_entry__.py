@@ -408,6 +408,32 @@ def _fixture_dir() -> str:
     return _FIXTURE_CACHE["dir"]
 
 
+def q_streaming_ingest(spark, sf):
+    """The page-extract pipeline as a Structured Streaming job: fixture
+    pages land as files, availableNow drains them through the SAME
+    mapInPandas extract stage as the round loop into a parquet documents
+    sink (checkpointed, exactly-once).  Returns the sunk documents —
+    rows-only (correctness gate: byte-identical-vs-batch + resume tests)."""
+    import tempfile
+
+    from macocu_crawler_spark.streaming.ingest import run_ingest
+
+    base = tempfile.mkdtemp(prefix="macocu-stream-")
+    pages = (
+        spark.read.parquet(f"{_fixture_dir()}/pages.parquet")
+        .withColumn("wpage_id", F.monotonically_increasing_id())
+        .select("wpage_id", "url", "warc_ts", "html", "http_header", "ip")
+    )
+    landing = f"{base}/landing"
+    pages.repartition(3).write.parquet(landing)
+    run_ingest(spark, landing, f"{base}/docs", f"{base}/ckpt")
+    return (
+        spark.read.parquet(f"{base}/docs")
+        .select("wpage_id", "url", "lang", "token_count", "txt_len", "txt_hash")
+        .orderBy("wpage_id")
+    )
+
+
 def q_crawl_rounds(spark, sf):
     """5 crawl rounds on the fixture web → deterministic fetch log."""
     import tempfile
@@ -583,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "crawl_rounds": q_crawl_rounds,
+        "streaming_ingest": q_streaming_ingest,
         "crawl_extract": q_crawl_extract,
         "robots_filter": q_robots_filter,
         "multimodal_features": q_multimodal_features,

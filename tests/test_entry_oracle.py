@@ -57,6 +57,7 @@ def test_every_query_runs_and_oracles_cover(entrymod):
     assert rows_only <= {
         "langid_trigram", "ann_lsh_topk", "ann_ivf_topk", "crawl_rounds",
         "crawl_extract", "robots_filter", "multimodal_features",
+        "streaming_ingest",
     }
 
 
