@@ -588,7 +588,11 @@ class CrawlDriver:
         new_rows, new_seen, domains2 = admit_links(
             links, domains, self.url_seen, self.dns, round_no=r,
             params=self.params,
-            bloom_map=self._bloom.as_map() if self._bloom else None,
+            bloom_map_bc=(
+                self._bloom.broadcast_map(self.spark.sparkContext)
+                if self._bloom
+                else None
+            ),
         )
         # F13 dead-host purge: drop queued rows of bad domains (GC — they are
         # never selected; purging bounds frontier growth at scale)
@@ -631,7 +635,10 @@ class CrawlDriver:
             # incremental maintenance: only this round's new keys are
             # collected (bucket + two int64 hashes per key); a bucket past
             # its sizing triggers a distributed rebuild from the table
-            self._bloom.add_new_seen(seen_pinned)
+            self._bloom.add_new_seen(
+                seen_pinned,
+                mode=getattr(self.params, "bloom_increment_mode", "vectorized"),
+            )
             if self._bloom.over_capacity():
                 from .operators.urlseen import BloomState
 

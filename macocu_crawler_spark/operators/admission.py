@@ -45,6 +45,7 @@ def admit_links(
     round_no: int,
     params,
     bloom_map: dict[int, bytes] | None = None,
+    bloom_map_bc=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """links: (src_scheme, src_host, scheme, host, path, seq) — seq is the
     in-batch admission order (fetch order × link position).
@@ -134,7 +135,9 @@ def admit_links(
     if getattr(params, "use_bloom_prefilter", False):
         from .urlseen import filter_new_candidates
 
-        cand = filter_new_candidates(cand, url_seen, bloom_map=bloom_map)
+        cand = filter_new_candidates(
+            cand, url_seen, bloom_map=bloom_map, bloom_map_bc=bloom_map_bc
+        )
     else:
         cand = cand.join(url_seen, ["scheme", "host", "path_sanitised"], "left_anti")
     seen_w = Window.partitionBy("scheme", "host", "path_sanitised").orderBy("seq")

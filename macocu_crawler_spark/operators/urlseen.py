@@ -76,12 +76,7 @@ def build_blooms(url_seen: DataFrame, n_buckets: int = 32) -> DataFrame:
         n = len(pdf)
         m_bits = max(64, 1 << int(np.ceil(np.log2(max(n * BITS_PER_KEY, 1)))))
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
-        h1 = _as_u64(pdf["_h1"])
-        h2 = _as_u64(pdf["_h2"]) | np.uint64(1)  # odd → full-period probe
-        for i in range(N_HASHES):
-            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
-            np.bitwise_or.at(bits, (pos // 8).astype(np.int64),
-                             (1 << (pos % 8)).astype(np.uint8))
+        _set_bits(bits, _as_u64(pdf["_h1"]), _as_u64(pdf["_h2"]))
         return pd.DataFrame(
             {"bucket": [bucket], "bits": [bits.tobytes()], "n_keys": [n]}
         )
@@ -129,6 +124,7 @@ def _might_contain_udf(bloom_map_bc):
 def filter_new_candidates(
     candidates: DataFrame, url_seen: DataFrame, n_buckets: int = 32,
     blooms: DataFrame | None = None, bloom_map: dict[int, bytes] | None = None,
+    bloom_map_bc=None,
 ) -> DataFrame:
     """Drop candidates already in url_seen: Bloom pre-filter + exact
     anti-join (equivalent to a plain anti-join; tested so).
@@ -136,25 +132,29 @@ def filter_new_candidates(
     candidates must carry (scheme, host, path_sanitised).  Pass a cached
     ``blooms`` (from build_blooms) to amortise Bloom construction across
     rounds — on the real system the blooms live in the checkpoint and are
-    updated incrementally per round.
+    updated incrementally per round.  Round loops should pass
+    ``bloom_map_bc`` (``BloomState.broadcast_map``) so one executor
+    broadcast is reused across rounds instead of a fresh copy per call.
     """
-    if bloom_map is None:
-        if blooms is None:
-            blooms = build_blooms(url_seen, n_buckets)
-        # the bloom relation is tiny (n_buckets rows); ship it as an
-        # executor broadcast VARIABLE, not a join column (see
-        # _might_contain_udf).  At 10^10 keys, n_buckets scales with the
-        # seen set so each bitset stays executor-memory-bounded; past
-        # broadcast size, the same probe runs co-partitioned per bucket
-        # (mapPartitions over the bucketed layout).  Callers running a
-        # round loop pass bloom_map from a BloomState instead — built once,
-        # updated incrementally per round.
-        bloom_map = {
-            int(r["bucket"]): bytes(r["bits"])
-            for r in blooms.select("bucket", "bits").collect()
-        }
-    sc = candidates.sparkSession.sparkContext
-    might = _might_contain_udf(sc.broadcast(bloom_map))
+    if bloom_map_bc is None:
+        if bloom_map is None:
+            if blooms is None:
+                blooms = build_blooms(url_seen, n_buckets)
+            # the bloom relation is tiny (n_buckets rows); ship it as an
+            # executor broadcast VARIABLE, not a join column (see
+            # _might_contain_udf).  At 10^10 keys, n_buckets scales with the
+            # seen set so each bitset stays executor-memory-bounded; past
+            # broadcast size, the same probe runs co-partitioned per bucket
+            # (mapPartitions over the bucketed layout).  Callers running a
+            # round loop pass bloom_map_bc from a BloomState instead — built
+            # once, re-broadcast only when the bloom changed.
+            bloom_map = {
+                int(r["bucket"]): bytes(r["bits"])
+                for r in blooms.select("bucket", "bits").collect()
+            }
+        sc = candidates.sparkSession.sparkContext
+        bloom_map_bc = sc.broadcast(bloom_map)
+    might = _might_contain_udf(bloom_map_bc)
     key = _seen_key(F.col("scheme"), F.col("host"), F.col("path_sanitised"))
     h1c, h2c = _probe_hash_cols(key)
     flagged = (
@@ -186,23 +186,79 @@ def probe_hashes(df: DataFrame, n_buckets: int = 32) -> DataFrame:
     )
 
 
+_STARTER_BYTES = 2048  # 16 Kbit starter bucket, ~1.3k keys capacity
+
+
+def _set_bits(arr: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> None:
+    """Vectorized double-hash bit set into a uint8 bitset (in place) —
+    the shared kernel of build_blooms and the incremental paths."""
+    m_bits = np.uint64(len(arr) * 8)
+    h2 = h2 | np.uint64(1)  # odd → full-period probe
+    for i in range(N_HASHES):
+        pos = (h1 + np.uint64(i) * h2) % m_bits
+        np.bitwise_or.at(arr, (pos // 8).astype(np.int64),
+                         (1 << (pos % 8)).astype(np.uint8))
+
+
+def delta_blooms(
+    new_seen: DataFrame, sizes: dict[int, int], n_buckets: int = 32
+) -> DataFrame:
+    """Distributed incremental increment: per-bucket applyInPandas builds a
+    DELTA bitset (only this round's new keys, sized to match the existing
+    bucket so the driver can OR it in) — the driver collects ≤n_buckets
+    (bucket, bits, n_keys) rows instead of one row per new URL.  ``sizes``
+    maps bucket → existing bitset length in BYTES (absent buckets get the
+    starter size); it is tiny (n_buckets ints) and ships in the closure."""
+    sizes = dict(sizes)  # pin a copy into the closure
+
+    def make_delta(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        n_bytes = sizes.get(bucket, _STARTER_BYTES)
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        _set_bits(bits, _as_u64(pdf["_h1"]), _as_u64(pdf["_h2"]))
+        return pd.DataFrame(
+            {"bucket": [bucket], "bits": [bits.tobytes()], "n_keys": [len(pdf)]}
+        )
+
+    return (
+        probe_hashes(new_seen, n_buckets)
+        .groupBy("bucket")
+        .applyInPandas(make_delta, schema=BLOOM_SCHEMA)
+    )
+
+
 class BloomState:
     """Driver-held incremental partitioned Bloom over the url_seen table.
 
     DERIVED state: admission never trusts it alone (the exact anti-join is
     authoritative), so it is rebuilt from url_seen on resume rather than
-    checkpointed.  Per round the driver collects only the (bucket, h1, h2)
-    probe hashes of the round's NEW seen rows (a few 10^4 ints) and sets
-    the bits locally — no per-round rescan of the whole seen set, which is
-    the incremental maintenance the round-2 design deferred to "the real
-    system".  When a bucket's key count outgrows its sizing the whole set
-    is rebuilt distributed (build_blooms) at the next maintenance call.
+    checkpointed.  Per round the driver ORs in only this round's NEW seen
+    keys — no per-round rescan of the whole seen set.  Two increment modes:
+
+    - ``vectorized`` (default): collect the round's (bucket, h1, h2) probe
+      hashes as Arrow → numpy and set bits with the same vectorized kernel
+      as build_blooms.  Right up to ~10^6 new keys/round (~24 MB of int64s
+      collected, microseconds of bit math).
+    - ``distributed``: per-bucket applyInPandas builds delta bitsets
+      executor-side (``delta_blooms``) and the driver collects only
+      ≤n_buckets bitsets to OR in — collect volume is O(bloom size), not
+      O(new keys); the scale path for very wide rounds.
+
+    When a bucket's key count outgrows its sizing the whole set is rebuilt
+    distributed (build_blooms) at the next maintenance call.
+
+    The executor copy is managed by :meth:`broadcast_map`: one broadcast is
+    reused across rounds and replaced (old one unpersisted) only when the
+    bits changed — a fresh broadcast per round would accumulate full bloom
+    copies on the driver and executors for the life of the crawl.
     """
 
     def __init__(self, n_buckets: int = 32):
         self.n_buckets = n_buckets
         self.bits: dict[int, bytearray] = {}
         self.n_keys: dict[int, int] = {}
+        self._bc = None  # current executor broadcast of as_map()
+        self._dirty = True
 
     @classmethod
     def from_url_seen(cls, url_seen: DataFrame, n_buckets: int = 32) -> "BloomState":
@@ -212,24 +268,39 @@ class BloomState:
             state.n_keys[int(r["bucket"])] = int(r["n_keys"])
         return state
 
-    def add_new_seen(self, new_seen: DataFrame) -> None:
-        """Set the bits of this round's new (scheme, host, path_sanitised)
-        rows.  A bucket not yet present is created at a default sizing."""
-        rows = probe_hashes(new_seen, self.n_buckets).collect()
-        for r in rows:
-            b = int(r["bucket"])
-            arr = self.bits.get(b)
-            if arr is None:
-                arr = bytearray(2048)  # 16 Kbit starter, ~1.3k keys capacity
-                self.bits[b] = arr
-                self.n_keys[b] = 0
-            m_bits = len(arr) * 8
-            h1 = r["_h1"] & 0xFFFFFFFFFFFFFFFF
-            h2 = (r["_h2"] & 0xFFFFFFFFFFFFFFFF) | 1
-            for i in range(N_HASHES):
-                pos = (h1 + i * h2) % m_bits
-                arr[pos >> 3] |= 1 << (pos & 7)
-            self.n_keys[b] += 1
+    def _bucket_arr(self, b: int) -> bytearray:
+        arr = self.bits.get(b)
+        if arr is None:
+            arr = bytearray(_STARTER_BYTES)
+            self.bits[b] = arr
+            self.n_keys[b] = 0
+        return arr
+
+    def add_new_seen(self, new_seen: DataFrame, mode: str = "vectorized") -> None:
+        """OR this round's new (scheme, host, path_sanitised) keys into the
+        bloom.  A bucket not yet present is created at a default sizing."""
+        if mode not in ("vectorized", "distributed"):
+            raise ValueError(f"unknown add_new_seen mode {mode!r}")
+        if mode == "distributed":
+            sizes = {b: len(arr) for b, arr in self.bits.items()}
+            rows = delta_blooms(new_seen, sizes, self.n_buckets).collect()
+            for r in rows:
+                b = int(r["bucket"])
+                arr = self._bucket_arr(b)
+                delta = np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
+                view = np.frombuffer(arr, dtype=np.uint8)
+                np.bitwise_or(view, delta, out=view)
+                self.n_keys[b] += int(r["n_keys"])
+        else:
+            pdf = probe_hashes(new_seen, self.n_buckets).toPandas()
+            if len(pdf):
+                for b, grp in pdf.groupby("bucket"):
+                    b = int(b)
+                    arr = self._bucket_arr(b)
+                    view = np.frombuffer(arr, dtype=np.uint8)
+                    _set_bits(view, _as_u64(grp["_h1"]), _as_u64(grp["_h2"]))
+                    self.n_keys[b] += len(grp)
+        self._dirty = True
 
     def over_capacity(self) -> bool:
         """True when any bucket holds more keys than its bitset was sized
@@ -241,3 +312,18 @@ class BloomState:
 
     def as_map(self) -> dict[int, bytes]:
         return {b: bytes(arr) for b, arr in self.bits.items()}
+
+    def broadcast_map(self, sc):
+        """The executor broadcast of as_map(), re-broadcast only when the
+        bits changed since the last call.  The previous broadcast is
+        unpersisted (its dependent round output is pinned by then — the
+        driver localCheckpoints round state before the next admission), so
+        long crawls hold exactly one live bloom copy per executor."""
+        if self._bc is not None and not self._dirty:
+            return self._bc
+        old = self._bc
+        self._bc = sc.broadcast(self.as_map())
+        self._dirty = False
+        if old is not None:
+            old.unpersist(blocking=False)
+        return self._bc

@@ -104,6 +104,10 @@ class CrawlParams:
     # Spark-side knob (ignored by the simulator — semantics are identical):
     # route URL-seen membership through the partitioned Bloom pre-filter
     use_bloom_prefilter: bool = False
+    # 'vectorized' (driver numpy over collected probe hashes) or
+    # 'distributed' (executor-side delta bitsets, driver ORs <=n_buckets
+    # rows) — the scale path for very wide rounds; semantics identical
+    bloom_increment_mode: str = "vectorized"
 
     def yield_threshold(self, doc_count: int) -> float:
         return self.yield_coeff * (log10(doc_count) - 1)

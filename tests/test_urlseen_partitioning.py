@@ -154,6 +154,70 @@ class TestBloomStateIncremental:
         assert probes_true(base)
         assert probes_true(inc)
 
+    def test_vectorized_equals_loop_and_distributed(self, spark):
+        """All three increment paths must produce the exact same bitsets:
+        the vectorized default, the distributed delta-bitset path, and a
+        straight per-row loop re-derivation of the double-hash contract."""
+        from macocu_crawler_spark.operators.urlseen import (
+            BloomState,
+            N_HASHES,
+            probe_hashes,
+        )
+
+        base = spark.range(2000).select(
+            F.lit("http").alias("scheme"),
+            F.concat(F.lit("h"), F.col("id") % 53).alias("host"),
+            F.concat(F.lit("/a"), F.col("id")).alias("path_sanitised"),
+        )
+        inc = spark.range(1500).select(
+            F.lit("http").alias("scheme"),
+            F.concat(F.lit("h"), F.col("id") % 53).alias("host"),
+            F.concat(F.lit("/b"), F.col("id")).alias("path_sanitised"),
+        )
+        vec = BloomState.from_url_seen(base)
+        vec.add_new_seen(inc, mode="vectorized")
+        dist = BloomState.from_url_seen(base)
+        dist.add_new_seen(inc, mode="distributed")
+
+        # loop reference: set bits per collected row, straight off the
+        # documented double-hash contract
+        loop = BloomState.from_url_seen(base)
+        for r in probe_hashes(inc, loop.n_buckets).collect():
+            b = int(r["bucket"])
+            arr = loop._bucket_arr(b)
+            m_bits = len(arr) * 8
+            h1 = r["_h1"] & 0xFFFFFFFFFFFFFFFF
+            h2 = (r["_h2"] & 0xFFFFFFFFFFFFFFFF) | 1
+            for i in range(N_HASHES):
+                pos = (h1 + i * h2) % m_bits
+                arr[pos >> 3] |= 1 << (pos & 7)
+            loop.n_keys[b] += 1
+
+        assert vec.as_map() == loop.as_map()
+        assert dist.as_map() == loop.as_map()
+        assert vec.n_keys == loop.n_keys == dist.n_keys
+
+    def test_broadcast_map_reuses_until_dirty(self, spark):
+        from macocu_crawler_spark.operators.urlseen import BloomState
+
+        base = spark.range(200).select(
+            F.lit("http").alias("scheme"),
+            F.concat(F.lit("h"), F.col("id") % 7).alias("host"),
+            F.concat(F.lit("/a"), F.col("id")).alias("path_sanitised"),
+        )
+        inc = base.withColumn(
+            "path_sanitised", F.concat(F.lit("/b"), F.col("path_sanitised"))
+        )
+        state = BloomState.from_url_seen(base)
+        sc = spark.sparkContext
+        bc1 = state.broadcast_map(sc)
+        assert state.broadcast_map(sc) is bc1  # unchanged → same broadcast
+        state.add_new_seen(inc)
+        bc2 = state.broadcast_map(sc)
+        assert bc2 is not bc1                  # changed → fresh broadcast
+        assert bc2.value == state.as_map()
+        assert state.broadcast_map(sc) is bc2
+
     def test_over_capacity_flags_growth(self, spark):
         from macocu_crawler_spark.operators.urlseen import BloomState
 
