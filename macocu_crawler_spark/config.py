@@ -31,12 +31,14 @@ DOMAIN_BLACKLIST_EXACT_PATH = None   # config.py:197
 DOMAIN_WHITELIST_PATH = None         # config.py:200
 EXTRACT_EMPTY_PAGE_INTERNAL_LINKS = True   # config.py:207
 EXTRACT_EMPTY_PAGE_EXTERNAL_LINKS = False  # config.py:210
-# config.py:350 (binary doc conversion, off by default).  Read from the
-# environment so the flag reaches Spark's Python WORKERS, which re-import
-# this module — a driver-side monkeypatch never leaves the driver process.
-# Cluster deploys set spark.executorEnv.MACOCU_CONVERSION_ENABLED=1 (or
-# edit this file, like the reference's config.py workflow); local[*]
-# workers inherit the driver's environment.
+# config.py:350 (binary doc conversion, off by default).  The DRIVER's
+# value is the single source of truth: Spark plans capture it at
+# plan-build time — URL admission bakes it into a plan literal
+# (urlkit.check_url_reason_col) and the extract stage pickles it into the
+# UDF closure (operators/extract._make_extract_batches) — so driver and
+# executors can never disagree even when executor environments lack the
+# variable (ADVICE r3 split-brain).  Set it on the driver via this env
+# var, or edit this file like the reference's config.py workflow.
 import os as _os
 
 CONVERSION_ENABLED = _os.environ.get("MACOCU_CONVERSION_ENABLED", "") == "1"

@@ -207,7 +207,8 @@ def format_date(timestamp_s: str) -> str:
 
 
 def extract_paragraphs(
-    data_bs: bytes, file_type: str, lang: str
+    data_bs: bytes, file_type: str, lang: str,
+    conversion_enabled: bool | None = None,
 ) -> tuple[list[dict], str, str | None, str | None, str | None] | None:
     """Decode + paragraph-split one document for one candidate language.
 
@@ -239,7 +240,11 @@ def extract_paragraphs(
         return paragraphs, html_text, title, meta_enc, chared_enc
     if file_type == "txt":
         return _txt_paragraphs(data_bs)
-    if config.CONVERSION_ENABLED and file_type in convert.CONVERTERS:
+    if conversion_enabled is None:
+        # standalone calls: this process's config; Spark plans thread the
+        # DRIVER's flag through the UDF closure instead (operators/extract)
+        conversion_enabled = config.CONVERSION_ENABLED
+    if conversion_enabled and file_type in convert.CONVERTERS:
         # U3 slice (process.py:300-329): in-process docx/odt zip+XML
         # extraction → the same txt_decode path an external converter feeds
         txt_bs = convert.convert_to_txt(file_type, data_bs)
@@ -266,7 +271,8 @@ def _txt_paragraphs(text_bs: bytes):
     return paragraphs, "", "", meta_enc, chared_enc
 
 
-def any2txt(data_bs: bytes, file_type: str, error_msgs: list[str]):
+def any2txt(data_bs: bytes, file_type: str, error_msgs: list[str],
+            conversion_enabled: bool | None = None):
     """Extract text; pick the best language by trigram difference.
 
     Reference process.py:335-396.  The reference re-runs extract_paragraphs
@@ -280,7 +286,9 @@ def any2txt(data_bs: bytes, file_type: str, error_msgs: list[str]):
     """
     lang_models = get_lang_models()
     first_lang = next(iter(config.LANGUAGES))
-    paragraph_data = extract_paragraphs(data_bs, file_type, first_lang)
+    paragraph_data = extract_paragraphs(
+        data_bs, file_type, first_lang, conversion_enabled=conversion_enabled
+    )
     if not (paragraph_data and paragraph_data[0]):
         error_msgs.append("cannot extract text")
         return None
@@ -432,6 +440,7 @@ def process_page(
     http_header: bytes | None,
     connect_time: str,
     ip: str | None = None,
+    conversion_enabled: bool | None = None,
 ) -> dict:
     """Full reference pipeline for one page (process.py:588-650).
 
@@ -449,7 +458,9 @@ def process_page(
     lang_diff = 1.0
     meta_enc = chared_enc = None
     html_text = ""
-    extracted = any2txt(html_bs, file_type, error_msgs)
+    extracted = any2txt(
+        html_bs, file_type, error_msgs, conversion_enabled=conversion_enabled
+    )
     if extracted is not None:
         lang, lang_diff = extracted[5], extracted[6]
         if lang in config.LANGUAGES_ACCEPT:

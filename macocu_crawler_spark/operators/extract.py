@@ -32,24 +32,36 @@ from ..functions import textkit
 _EXTRACT_COLS = ["wpage_id", "url", "html", "http_header", "connect_time", "ip"]
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    col_names = [f.name for f in schemas.EXTRACTED.fields]
-    for batch in batches:
-        rows = []
-        for r in batch.itertuples(index=False):
-            html = bytes(r.html) if r.html is not None else b""
-            header = bytes(r.http_header) if r.http_header is not None else None
-            row = textkit.process_page(
-                int(r.wpage_id), r.url, html, header, r.connect_time, r.ip
-            )
-            row["ignored_links"] = [
-                {"reason": reason, "url": url} for reason, url in row["ignored_links"]
-            ]
-            row["links"] = [
-                {"scheme": s, "host": h, "path": p} for s, h, p in row["links"]
-            ]
-            rows.append([row[c] for c in col_names])
-        yield pd.DataFrame(rows, columns=col_names)
+def _make_extract_batches(conversion_enabled: bool):
+    """Bind the driver's CONVERSION_ENABLED into the UDF closure at
+    plan-build time.  Workers re-import config from THEIR environment, so
+    reading the flag worker-side can split-brain against the driver-built
+    admission plan (which fetches *.docx/odt/pdf when the driver flag is
+    on): the closure value is pickled with the UDF, making the driver the
+    single source of truth (ADVICE r3, config.py:42)."""
+
+    def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        col_names = [f.name for f in schemas.EXTRACTED.fields]
+        for batch in batches:
+            rows = []
+            for r in batch.itertuples(index=False):
+                html = bytes(r.html) if r.html is not None else b""
+                header = bytes(r.http_header) if r.http_header is not None else None
+                row = textkit.process_page(
+                    int(r.wpage_id), r.url, html, header, r.connect_time, r.ip,
+                    conversion_enabled=conversion_enabled,
+                )
+                row["ignored_links"] = [
+                    {"reason": reason, "url": url}
+                    for reason, url in row["ignored_links"]
+                ]
+                row["links"] = [
+                    {"scheme": s, "host": h, "path": p} for s, h, p in row["links"]
+                ]
+                rows.append([row[c] for c in col_names])
+            yield pd.DataFrame(rows, columns=col_names)
+
+    return _extract_batches
 
 
 def extract_documents(pages: DataFrame) -> DataFrame:
@@ -66,4 +78,8 @@ def extract_documents(pages: DataFrame) -> DataFrame:
         F.date_format("warc_ts", "yyyyMMddHHmmss").alias("connect_time"),
         "ip",
     )
-    return prepared.mapInPandas(_extract_batches, schema=schemas.EXTRACTED)
+    from .. import config
+
+    return prepared.mapInPandas(
+        _make_extract_batches(config.CONVERSION_ENABLED), schema=schemas.EXTRACTED
+    )

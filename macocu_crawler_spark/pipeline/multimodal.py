@@ -291,6 +291,29 @@ def _decode_real(kind: str, payload: bytes) -> np.ndarray:
     )
 
 
+# Malformed untrusted payloads (truncated BMP with pix_off past the buffer,
+# PNM with a non-numeric header, AVI with a lying strf, ...) surface as
+# parse-layer exceptions, not NotImplementedError — web media must degrade
+# to the fallback path, never fail the Spark task.  struct.error and
+# wave.Error both subclass Exception but neither ValueError nor OSError, so
+# list the concrete families the stdlib parsers can raise.
+def _parse_errors() -> tuple:
+    import struct
+    import wave as _wave
+
+    return (
+        NotImplementedError,  # declared-unsupported format
+        ValueError,           # int() on junk header, frombuffer/reshape size
+        KeyError,             # unexpected WAV sample width
+        IndexError,           # truncated header slicing
+        EOFError,             # wave on truncated stream
+        OSError,              # wave/aifc-style container errors
+        ZeroDivisionError,    # zero-dim image in feature tiling
+        struct.error,         # unpack_from past the buffer
+        _wave.Error,          # malformed WAV chunks
+    )
+
+
 def _decode_fake(kind: str, payload: bytes) -> np.ndarray:
     """STUB: deterministic fake 'decode' — a FEATURE_DIM float vector from
     the payload's blake2b digest.  Preserves shape/dtype contracts so the
@@ -321,7 +344,8 @@ def extract_features(media: DataFrame, decoder: str = "auto") -> DataFrame:
             return _decode_real(kind, payload)
         try:
             return _decode_real(kind, payload)
-        except NotImplementedError:
+        except _parse_errors():
+            # undecodable OR malformed: degrade, don't fail the task
             return _decode_fake(kind, payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -357,8 +381,8 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                     continue
                 try:
                     rgb = _image_rgb(bytes(r.payload))
-                except NotImplementedError:
-                    continue
+                except _parse_errors():
+                    continue  # undecodable or malformed: pass through
                 h, w = rgb.shape[:2]
                 ri = (np.arange(height) * h // height).clip(0, h - 1)
                 ci = (np.arange(width) * w // width).clip(0, w - 1)

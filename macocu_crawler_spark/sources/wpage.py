@@ -30,21 +30,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def _task_part_id() -> str:
-    """Collision-free archive filename component.
+def _task_part_id() -> tuple[str, str]:
+    """Collision-free archive filename components: (final, attempt).
 
     Spark reuses Python worker processes across partitions, so (pid, count)
-    collides whenever one worker handles two equal-sized partitions — use the
-    task's partitionId (unique within a write job), falling back to uuid4
-    outside a task context (plain-Python tests)."""
+    collides whenever one worker handles two equal-sized partitions — the
+    FINAL name is the task's stageId-partitionId (unique within a write
+    job).  But stageId-partitionId is identical across task ATTEMPTS: a
+    speculative or zombie attempt racing its retry on the same path with a
+    non-atomic open(path, 'wb') could tear the archive, so writes go to an
+    ATTEMPT-unique temp name (taskAttemptId suffix) and os.rename onto the
+    final name — rename is atomic on POSIX, the last completed attempt
+    wins whole.  Outside a task context (plain-Python tests): uuid4."""
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
     if ctx is not None:
-        return f"{ctx.stageId()}-{ctx.partitionId():05d}"
+        final = f"{ctx.stageId()}-{ctx.partitionId():05d}"
+        return final, f"{final}.attempt-{ctx.taskAttemptId()}"
     import uuid
 
-    return uuid.uuid4().hex
+    u = uuid.uuid4().hex
+    return u, f"{u}.tmp"
+
+
+def _atomic_write(out_dir: str, suffix: str, data: bytes) -> str:
+    """Write data to its attempt-unique temp path, then atomically rename
+    to the attempt-stable final path.  Returns the final path."""
+    final, attempt = _task_part_id()
+    tmp_path = os.path.join(out_dir, f".part-{attempt}{suffix}")
+    path = os.path.join(out_dir, f"part-{final}{suffix}")
+    with open(tmp_path, "wb") as f:
+        f.write(data)
+    os.rename(tmp_path, path)
+    return path
 
 
 PAGES_OUT_SCHEMA = T.StructType(
@@ -161,9 +180,7 @@ def write_arc(pages: DataFrame, out_dir: str) -> int:
                     gz.write(body)
                     count += 1
         if count:
-            path = os.path.join(out_dir, f"part-{_task_part_id()}.arc.gz")
-            with open(path, "wb") as f:
-                f.write(buf.getvalue())
+            _atomic_write(out_dir, ".arc.gz", buf.getvalue())
         yield pd.DataFrame({"n": [count]})
 
     counts = prepared.mapInPandas(write_partition, "n long")
@@ -223,9 +240,7 @@ def write_warc(pages: DataFrame, out_dir: str) -> int:
                     )
                     count += 1
         if count:
-            path = os.path.join(out_dir, f"part-{_task_part_id()}.warc.gz")
-            with open(path, "wb") as f:
-                f.write(buf.getvalue())
+            _atomic_write(out_dir, ".warc.gz", buf.getvalue())
         yield pd.DataFrame({"n": [count]})
 
     counts = prepared.mapInPandas(write_partition, "n long")

@@ -217,6 +217,41 @@ class TestConversionPipeline:
         assert "cannot extract text" in row["error_msgs"]
 
 
+class TestDriverFlagReachesWorkers:
+    def test_spark_extract_follows_driver_flag(self, spark, monkeypatch):
+        """ADVICE r3 split-brain: the extract UDF must follow the DRIVER's
+        CONVERSION_ENABLED, not the worker environment.  A driver-side
+        monkeypatch never reaches worker processes (they re-import config
+        from THEIR env, where the flag is off), so a docx page converting
+        here proves the flag travels in the pickled UDF closure."""
+        import datetime as dt
+
+        from macocu_crawler_spark.operators.extract import extract_documents
+
+        monkeypatch.setattr(config, "CONVERSION_ENABLED", True)
+        pages = spark.createDataFrame(
+            [
+                (
+                    1,
+                    "http://example.no/rapport.docx",
+                    dt.datetime(2023, 8, 15, 10, 0, 0),
+                    bytearray(make_docx([GOOD_NO_PAR, GOOD_NO_PAR + " Og mer."])),
+                    bytearray(DOCX_HDR),
+                    "10.0.0.1",
+                )
+            ],
+            "wpage_id long, url string, warc_ts timestamp, html binary,"
+            " http_header binary, ip string",
+        )
+        row = extract_documents(pages).first()
+        assert row.file_type == "docx"
+        assert row.txt_len > 0  # converted despite worker env flag being off
+        # and with the driver flag off, the same page is dropped
+        monkeypatch.setattr(config, "CONVERSION_ENABLED", False)
+        row_off = extract_documents(pages).first()
+        assert row_off.txt_len == 0
+
+
 class TestBinfileRouting:
     def test_admission_flips_with_conversion_flag(self, monkeypatch):
         # default: *.docx is a binfile route (http.py:211)

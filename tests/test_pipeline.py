@@ -253,6 +253,63 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             _decode_real("video", b"\x00\x00\x00\x18ftyp")
 
+    # malformed web media: each raises a PARSE error (not
+    # NotImplementedError) in the strict decoder, and must degrade to the
+    # digest fake in 'auto' / pass through in resize — never fail the task
+    MALFORMED = [
+        ("image", b"BM" + b"\x00" * 8 + b"\xff\xff\x00\x00" + b"\x28" + b"\x00" * 60),
+        ("image", b"P5\nnotanumber 4\n255\n\x00\x01"),  # non-numeric PNM header
+        ("image", b"BM\x36\x00"),                        # truncated BMP header
+        ("audio", b"RIFF\x10\x00\x00\x00WAVEfmt "),      # truncated WAV
+        ("video", b"RIFF\x10\x00\x00\x00AVI LIST"),      # truncated AVI list
+    ]
+
+    def test_malformed_payloads_degrade_not_crash(self, spark):
+        """ADVICE r3: untrusted web bytes that defeat the parsers (truncated
+        BMP, junk PNM header, lying RIFF sizes) raise ValueError/struct.error
+        — 'auto' must fall back to the digest fake instead of failing the
+        Spark task."""
+        import numpy as np
+
+        from macocu_crawler_spark.pipeline.multimodal import (
+            MEDIA_SCHEMA,
+            _decode_fake,
+            _decode_real,
+            _parse_errors,
+            extract_features,
+        )
+
+        # every fixture genuinely defeats the strict decoder, and none of
+        # them by NotImplementedError alone (that path was already handled)
+        for kind, payload in self.MALFORMED:
+            with pytest.raises(_parse_errors()):
+                _decode_real(kind, payload)
+
+        rows = [
+            (i, kind, bytearray(payload), "application/octet-stream", 4, 2, 100)
+            for i, (kind, payload) in enumerate(self.MALFORMED)
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+        assert len(feats) == len(self.MALFORMED)
+        for i, (kind, payload) in enumerate(self.MALFORMED):
+            assert np.allclose(feats[i], _decode_fake(kind, payload))
+
+    def test_malformed_image_resize_passes_through(self, spark):
+        from macocu_crawler_spark.pipeline.multimodal import (
+            MEDIA_SCHEMA,
+            resize_media,
+        )
+
+        rows = [
+            (i, kind, bytearray(payload), "application/octet-stream", 4, 2, 100)
+            for i, (kind, payload) in enumerate(self.MALFORMED)
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r.media_id: bytes(r.payload) for r in resize_media(media, 2, 2).collect()}
+        for i, (_kind, payload) in enumerate(self.MALFORMED):
+            assert out[i] == payload  # untouched
+
     def test_real_decoder_covers_every_fixture_kind(self, spark):
         """decoder='real' (raise-where-unimplemented) succeeds over the
         WHOLE synthetic media table: BMP images, WAV audio and AVI video are

@@ -52,6 +52,36 @@ class TestArcRoundTrip:
         assert len(files) == n_parts, (len(files), n_parts)
         assert read_arc(spark, f"{out}/*.arc.gz").count() == n
 
+    def test_atomic_attempt_writes_last_wins_whole(self, tmp_path):
+        """ADVICE r3: stageId-partitionId is identical across task ATTEMPTS
+        — a speculative attempt and its retry racing open(path, 'wb') on
+        the same final name could tear the archive.  Writes now land on an
+        attempt-unique temp name and os.rename onto the final path: rename
+        is atomic, so whichever attempt finishes last leaves a WHOLE file,
+        and no temp droppings survive."""
+        import glob
+        import os
+        from unittest import mock
+
+        from macocu_crawler_spark.sources import wpage
+
+        out = str(tmp_path / "arc")
+        os.makedirs(out)
+        # two 'attempts' of the same task: same final name, distinct attempt
+        with mock.patch.object(
+            wpage, "_task_part_id", return_value=("7-00003", "7-00003.attempt-41")
+        ):
+            wpage._atomic_write(out, ".arc.gz", b"attempt-41 payload")
+        with mock.patch.object(
+            wpage, "_task_part_id", return_value=("7-00003", "7-00003.attempt-99")
+        ):
+            wpage._atomic_write(out, ".arc.gz", b"attempt-99 payload xxxx")
+        files = sorted(os.listdir(out))
+        assert files == ["part-7-00003.arc.gz"]  # one final file, no temps
+        with open(os.path.join(out, files[0]), "rb") as f:
+            assert f.read() == b"attempt-99 payload xxxx"  # last attempt, whole
+        assert glob.glob(f"{out}/.part-*") == []
+
     def test_write_read_warc(self, spark, pages, tmp_path):
         """WARC/1.0 export round trip: byte-identical payloads, preserved
         ids/ips/timestamps, deterministic record ids (re-export equal)."""
