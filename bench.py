@@ -13,9 +13,12 @@ Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
    bench web at local[$SPARK_GRAFT_CPUS]
 3. per-query wall seconds for every oracle-checked queries() entry
 
-Output: {"metric": ..., "value": <headline urls/sec at 4N>, "unit":
-"urls/sec", "queries": {name: sec}, "sf": ..., plus explicit
-urls_per_sec_local8/32 + scaling_efficiency keys}.
+Output contract: the LAST stdout line is one COMPACT JSON object —
+{"metric", "value" (headline urls/sec at 4N, median-of-3), "unit",
+"queries": {name: sec}, "sf", urls_per_sec_local8/32,
+scaling_efficiency_8_to_32} — small enough for the driver's tail-capture
+window.  Full detail (skew/control/microbench/bloom tables, per-sample
+headline walls) is written to bench/BENCH_local_latest.json.
 """
 
 from __future__ import annotations
@@ -124,11 +127,17 @@ def run_scaling(pages_dir: str) -> dict:
                 .withColumn("wpage_id", F.monotonically_increasing_id())
             )
             extract_documents(warm).count()
-            wall, n = reprocess_throughput(spark, pages_dir)
-            wall2, _ = reprocess_throughput(spark, pages_dir)
-            wall = min(wall, wall2)  # best-of-2 (shared-box noise)
+            # HEADLINE is median-of-3: round-3 showed best-of-2 noise on
+            # this shared box (±15-20%) exceeding round-over-round deltas,
+            # so a real 10% regression was undetectable (VERDICT r3 #3)
+            walls = []
+            for _ in range(3):
+                wall, n = reprocess_throughput(spark, pages_dir)
+                walls.append(wall)
+            wall = sorted(walls)[1]
             result[cores] = {"sec": round(wall, 2), "pages": n,
-                             "urls_per_sec": round(n / wall, 1)}
+                             "urls_per_sec": round(n / wall, 1),
+                             "samples_sec": [round(w, 2) for w in walls]}
             log(f"local[{cores}]: {n} pages in {wall:.1f}s = {n / wall:.0f} urls/s")
         finally:
             spark.stop()
@@ -183,39 +192,25 @@ def _burn(n: int) -> int:
     return x
 
 
-def run_scheduler_microbench(n_urls: int = 2_000_000, n_hosts: int = 50_000) -> dict:
+def run_scheduler_microbench(
+    sizes: tuple[int, ...] = (2_000_000,), n_hosts: int = 50_000
+) -> list[dict]:
     """Selection-query cost over a large synthetic frontier — the component
     whose cost actually grows with frontier size (the extract pipeline is
     per-fetched-page, but the scheduler scans/windows the whole queue).
 
-    Measures one full select_urls materialisation over n_urls pending rows
-    across n_hosts domains at local[CPUS]."""
+    Measures one full select_urls materialisation per frontier size at
+    fixed host count and local[CPUS] — the multi-size curve is the
+    "per-host, not per-row" scale evidence (near-flat wall as the frontier
+    grows 16× is what lets the same plan serve a 10^10-row frontier)."""
     import pyspark.sql.functions as F
 
     from macocu_crawler_spark.operators.scheduler_round import select_urls
     from macocu_crawler_spark.simulator import CrawlParams
 
     spark = make_spark(CPUS)
+    results = []
     try:
-        frontier = (
-            spark.range(n_urls)
-            .select(
-                F.lit("http").alias("scheme"),
-                F.concat(F.lit("host"), (F.col("id") % n_hosts)).alias("host"),
-                F.concat(F.lit("/p"), F.col("id"), F.lit(".html")).alias("path"),
-                F.concat(F.lit("/p"), F.col("id"), F.lit(".html")).alias("path_sanitised"),
-                (F.col("id") % 7).alias("batch_id"),
-                F.col("id").alias("seq"),
-                # O2/O7 queue model: frontier rows carry status + queue keys
-                F.lit("queued").alias("status"),
-                F.lit(1).alias("q_round"),
-                F.lit(1).alias("q_phase"),
-                (F.col("id") / n_hosts).cast("int").alias("q_rank"),
-            )
-            .repartition(CPUS * 3, "host")
-            .cache()
-        )
-        frontier.count()
         domains = (
             spark.range(n_hosts)
             .select(
@@ -235,19 +230,120 @@ def run_scheduler_microbench(n_urls: int = 2_000_000, n_hosts: int = 50_000) -> 
         )
         domains.count()
         params = CrawlParams()
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            n_sel = select_urls(frontier, domains, params).count()
-            wall = time.time() - t0
-            best = wall if best is None else min(best, wall)
-        log(f"scheduler: {n_urls} frontier rows -> {n_sel} selected in {best:.1f}s")
+        for n_urls in sizes:
+            frontier = (
+                spark.range(n_urls)
+                .select(
+                    F.lit("http").alias("scheme"),
+                    F.concat(F.lit("host"), (F.col("id") % n_hosts)).alias("host"),
+                    F.concat(F.lit("/p"), F.col("id"), F.lit(".html")).alias("path"),
+                    F.concat(F.lit("/p"), F.col("id"), F.lit(".html")).alias("path_sanitised"),
+                    (F.col("id") % 7).alias("batch_id"),
+                    F.col("id").alias("seq"),
+                    # O2/O7 queue model: frontier rows carry status + queue keys
+                    F.lit("queued").alias("status"),
+                    F.lit(1).alias("q_round"),
+                    F.lit(1).alias("q_phase"),
+                    (F.col("id") / n_hosts).cast("int").alias("q_rank"),
+                )
+                .repartition(CPUS * 3, "host")
+                .cache()
+            )
+            frontier.count()
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                n_sel = select_urls(frontier, domains, params).count()
+                wall = time.time() - t0
+                best = wall if best is None else min(best, wall)
+            frontier.unpersist()
+            log(f"scheduler: {n_urls} frontier rows -> {n_sel} selected in {best:.1f}s")
+            results.append({
+                "frontier_rows": n_urls,
+                "hosts": n_hosts,
+                "selected": n_sel,
+                "sec": round(best, 2),
+                "frontier_rows_per_sec": round(n_urls / best, 0),
+            })
+        return results
+    finally:
+        spark.stop()
+
+
+def run_bloom_bench(n_seen: int = 10_000_000, n_probe: int = 1_000_000) -> dict:
+    """URL-seen Bloom at 10^7 seen keys (VERDICT r3 #7): distributed build,
+    probe throughput over a half-seen/half-new candidate batch, incremental
+    increment cost for a 10^6-new-keys round (both modes), and the
+    over_capacity growth policy actually triggering a distributed rebuild
+    at this scale."""
+    import pyspark.sql.functions as F
+
+    from macocu_crawler_spark.operators.urlseen import (
+        BloomState,
+        filter_new_candidates,
+    )
+
+    spark = make_spark(CPUS)
+    try:
+        def seen_df(start: int, n: int):
+            return (
+                spark.range(start, start + n)
+                .select(
+                    F.lit("http").alias("scheme"),
+                    F.concat(F.lit("h"), F.col("id") % 100_000).alias("host"),
+                    F.concat(F.lit("/p"), F.col("id")).alias("path_sanitised"),
+                )
+                .repartition(CPUS * 2)
+            )
+
+        seen = seen_df(0, n_seen).cache()
+        seen.count()
+        t0 = time.time()
+        state = BloomState.from_url_seen(seen)
+        build_sec = time.time() - t0
+        # candidates: half seen, half new
+        cand = (
+            seen_df(n_seen - n_probe // 2, n_probe)
+            .withColumn("path", F.col("path_sanitised"))
+            .cache()
+        )
+        cand.count()
+        bc = state.broadcast_map(spark.sparkContext)
+        t0 = time.time()
+        n_new = filter_new_candidates(cand, seen, bloom_map_bc=bc).count()
+        probe_sec = time.time() - t0
+        # incremental increment: a 10^6-new-keys round, both modes
+        inc = seen_df(n_seen + n_probe, 1_000_000).cache()
+        inc.count()
+        t0 = time.time()
+        state.add_new_seen(inc, mode="vectorized")
+        inc_vec_sec = time.time() - t0
+        t0 = time.time()
+        state.add_new_seen(inc, mode="distributed")
+        inc_dist_sec = time.time() - t0
+        # growth policy: the two increments pushed buckets past their
+        # BITS_PER_KEY sizing → over_capacity must flag, and the rebuild is
+        # the distributed build (same cost class as build_sec)
+        over = state.over_capacity()
+        t0 = time.time()
+        if over:
+            state = BloomState.from_url_seen(seen.unionByName(inc))
+        rebuild_sec = time.time() - t0
+        log(f"bloom: build {build_sec:.1f}s, probe {probe_sec:.1f}s, "
+            f"inc vec {inc_vec_sec:.2f}s / dist {inc_dist_sec:.2f}s, "
+            f"over_capacity={over}, rebuild {rebuild_sec:.1f}s")
         return {
-            "frontier_rows": n_urls,
-            "hosts": n_hosts,
-            "selected": n_sel,
-            "sec": round(best, 2),
-            "frontier_rows_per_sec": round(n_urls / best, 0),
+            "seen_keys": n_seen,
+            "probe_candidates": n_probe,
+            "probe_new": n_new,
+            "build_sec": round(build_sec, 2),
+            "probe_sec": round(probe_sec, 2),
+            "probe_urls_per_sec": round(n_probe / probe_sec, 0),
+            "increment_keys": 1_000_000,
+            "increment_vectorized_sec": round(inc_vec_sec, 2),
+            "increment_distributed_sec": round(inc_dist_sec, 2),
+            "over_capacity_triggered": over,
+            "rebuild_sec": round(rebuild_sec, 2),
         }
     finally:
         spark.stop()
@@ -449,36 +545,65 @@ def run_queries() -> dict:
     return timings
 
 
+DETAIL_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench", "BENCH_local_latest.json"
+)
+
+
 def main() -> None:
     pages_dir = bench_web_dir()
+    # full-depth scale evidence (32M-row frontier, 10^7-key bloom) runs at
+    # the driver's per-round scale only; the sf0.01 dev loop stays fast
+    full = SF == "0.1"
     scaling = run_scaling(pages_dir)
     crawl = run_crawl_rounds(pages_dir)
-    scheduler = run_scheduler_microbench()
+    scheduler = run_scheduler_microbench(
+        sizes=(2_000_000, 8_000_000, 32_000_000) if full else (2_000_000,)
+    )
+    bloom = run_bloom_bench() if full else None
     skew = run_skew_bench()
     ip_skew = run_ip_skew_bench()
     queries = run_queries()
     controls = run_controls()
-    headline = scaling[CPUS]["urls_per_sec"]
-    out = {
+
+    # the driver machine-parses the LAST stdout line; keep it compact
+    # (round 3's line outgrew the driver's tail-capture window and parsed
+    # as null — VERDICT r3 #2).  Everything else goes to the artifact file.
+    compact = {
         "metric": (
             "frontier URLs processed per second through the reprocess path "
             f"(pages→extract→dedup) at local[{CPUS}]"
         ),
-        "value": headline,
+        "value": scaling[CPUS]["urls_per_sec"],
         "unit": "urls/sec",
         "queries": queries,
         "sf": float(SF),
-        "bench_web": {"hosts": N_HOSTS, "pages_per_host": PAGES_PER_HOST},
         "urls_per_sec_local8": scaling[8]["urls_per_sec"],
         f"urls_per_sec_local{CPUS}": scaling[CPUS]["urls_per_sec"],
         "scaling_efficiency_8_to_32": scaling["scaling_efficiency"],
+    }
+    detail = dict(compact)
+    detail.update({
+        "bench_web": {"hosts": N_HOSTS, "pages_per_host": PAGES_PER_HOST},
+        "headline_policy": "median-of-3 per parallelism level",
+        "headline_samples": {
+            "local8_sec": scaling[8]["samples_sec"],
+            f"local{CPUS}_sec": scaling[CPUS]["samples_sec"],
+        },
         "hardware_ceiling_controls": controls,
         "crawl_rounds": crawl,
-        "scheduler_select": scheduler,
+        "scheduler_select": scheduler[0],
+        "scheduler_frontier_scaling": scheduler,
         "hot_host_skew": skew,
         "cdn_ip_skew": ip_skew,
-    }
-    print(json.dumps(out))
+    })
+    if bloom is not None:
+        detail["bloom_at_1e7"] = bloom
+    os.makedirs(os.path.dirname(DETAIL_ARTIFACT), exist_ok=True)
+    with open(DETAIL_ARTIFACT, "w") as f:
+        json.dump(detail, f, indent=1)
+    log(f"detail artifact: {DETAIL_ARTIFACT}")
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
