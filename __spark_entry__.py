@@ -454,8 +454,12 @@ def q_crawl_extract(spark, sf):
     is asserted in tests; here: stable scalar projection)."""
     from macocu_crawler_spark.operators.extract import extract_documents
 
+    # deterministic page id with NO window at all (url is unique in the
+    # fixture): an unpartitioned Window.orderBy would contradict the
+    # repo's no-single-partition-window policy (VERDICT r3 #4) — the id
+    # only keys extraction, it is not in the projection
     pages = spark.read.parquet(f"{_fixture_dir()}/pages.parquet").withColumn(
-        "wpage_id", F.row_number().over(Window.orderBy("url")) - 1
+        "wpage_id", F.pmod(F.xxhash64("url"), F.lit(1 << 40))
     )
     return extract_documents(pages).select(
         "url", "lang", "txt_len", "token_count", "txt_hash"

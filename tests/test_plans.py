@@ -181,7 +181,73 @@ class TestSchedulerPlanShape:
         assert sel.count() == n_hosts  # 1 per host, all under max_url_select
 
 
-class TestAccessorPlanPruning:
+class TestNoUnkeyedWindowsAnywhere:
+    """Repo-wide window policy (VERDICT r3 #6): NO driver entry may plan an
+    unkeyed (single-partition) window over unbounded input.  Unkeyed
+    windows are tolerated only when their subtree is provably bounded — an
+    aggregate output (bucketed_seq's per-bucket counts), a TopK
+    (TakeOrderedAndProject), or an explicit Limit."""
+
+    # these entries RUN a crawl/streaming job to produce their result
+    # table; their returned DataFrame is a post-run scan, not a query plan
+    SKIP = {"crawl_rounds", "streaming_ingest"}
+    BOUNDED_NODES = (
+        "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+        "TakeOrderedAndProject", "GlobalLimit", "LocalLimit",
+    )
+
+    @staticmethod
+    def _indent(line: str) -> int:
+        import re
+
+        return re.match(r"^[\s:+|-]*", line).end()
+
+    def _unkeyed_window_violations(self, ps: str) -> list[str]:
+        import re
+
+        lines = ps.splitlines()
+        bad = []
+        for i, line in enumerate(lines):
+            # a windowspecdefinition with no partition cols starts with an
+            # ordering argument ("col ASC/DESC ...") instead of a column list
+            if not (
+                "windowspecdefinition(" in line
+                and re.search(r"windowspecdefinition\([^,()]*\s(ASC|DESC)\b", line)
+            ):
+                continue
+            d = self._indent(line)
+            subtree = []
+            for nxt in lines[i + 1:]:
+                if nxt.strip() and self._indent(nxt) <= d:
+                    break
+                subtree.append(nxt)
+            if not any(n in s for s in subtree for n in self.BOUNDED_NODES):
+                bad.append(line.strip()[:160])
+        return bad
+
+    def test_rule_catches_a_global_window(self, spark):
+        from pyspark.sql import Window
+
+        df = spark.range(100).withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+        assert self._unkeyed_window_violations(_plan(df))
+        # ...and accepts the bounded form (window above an aggregate)
+        agg = spark.range(100).groupBy((F.col("id") % 5).alias("b")).count()
+        ok = agg.withColumn("rn", F.row_number().over(Window.orderBy("b")))
+        assert not self._unkeyed_window_violations(_plan(ok))
+
+    def test_every_query_entry_plan_is_clean(self, spark):
+        import __spark_entry__ as entrymod
+
+        failures = {}
+        for name, fn in entrymod.queries().items():
+            if name in self.SKIP:
+                continue
+            bad = self._unkeyed_window_violations(_plan(fn(spark, SF_DIR)))
+            if bad:
+                failures[name] = bad
+        assert not failures, failures
     """VERDICT r2 #9: the duplicates/ignored output accessors union every
     committed round version — their scans must prune to the columns they
     need (never text/prevert) and push the is_duplicate filter down."""
