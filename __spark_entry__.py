@@ -466,16 +466,138 @@ def q_crawl_extract(spark, sf):
     )
 
 
+ROBOTS_PROBE_PATHS = ["/", "/privat/skjult.html", "/nyhet1.html", "/ingen/x.html"]
+
+
+def _reference_modules():
+    """Import the reference's pure-Python kernels (/root/reference is
+    PUBLIC read-only content; its modules are used ONLY to generate oracle
+    expectations, never shipped).  The reference robotparser hard-requires
+    re2 — a stdlib-re stub is injected, safe for these small benign rule
+    files (same shim as tests/test_reference_differential.py)."""
+    import re as _re
+    import types
+
+    if "re2" not in sys.modules:
+        fake = types.ModuleType("re2")
+        fake.escape, fake.compile = _re.escape, _re.compile
+        fake.match, fake.sub = _re.match, _re.sub
+        sys.modules["re2"] = fake
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    from util import robotparser, trigrams
+
+    return robotparser, trigrams
+
+
+def _robots_expected_path() -> str:
+    """Expected allow/deny per fixture (host, path), computed by the
+    REFERENCE robotparser — a true differential oracle: the driver's hash
+    check then compares our vectorized rules UDF against the reference's
+    own matching, value by value (VERDICT r3 task 3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from macocu_crawler_spark import config
+
+    fd = _fixture_dir()
+    out = os.path.join(fd, "robots_expected.parquet")
+    if not os.path.exists(out):
+        robotparser, _ = _reference_modules()
+        tbl = pq.read_table(
+            os.path.join(fd, "robots.parquet"), columns=["host", "body"]
+        ).to_pydict()
+        hosts, paths, allowed = [], [], []
+        for host, body in zip(tbl["host"], tbl["body"]):
+            for p in ROBOTS_PROBE_PATHS:
+                if body is None or not body.strip():
+                    a = True
+                else:
+                    try:
+                        ref = robotparser.RobotExclusionRulesParser()
+                        ref.parse(body)
+                        a = bool(ref.is_allowed(config.AGENT, p))
+                    except Exception:
+                        a = config.IGNORE_ROBOTS_WHEN_FAILED
+                hosts.append(host)
+                paths.append(p)
+                allowed.append(a)
+        pq.write_table(
+            pa.table({"host": hosts, "path": paths, "allowed": allowed}), out
+        )
+    return out
+
+
+def _langid_expected_path() -> str:
+    """Expected (text_md5 → best_lang, lang_diff) over the documents texts
+    of EVERY testdata sf, computed with the reference trigrams.Trigram —
+    models trained by the reference code on the same lang_samples our
+    models use.  The diff math is bit-identical on both sides (integer dot
+    product and norms; one float division), so the driver's value hash is
+    an exact check.  Cached in /tmp keyed by input content."""
+    import glob
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from macocu_crawler_spark import config
+    from macocu_crawler_spark.functions.textkit import _read_data
+
+    doc_files = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    texts: dict[str, str] = {}
+    key_h = hashlib.md5()
+    for f in doc_files:
+        for t in pq.read_table(f, columns=["text"]).column("text").to_pylist():
+            t = t or ""
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            if h not in texts:
+                texts[h] = t
+    for h in sorted(texts):
+        key_h.update(h.encode())
+    out = f"/tmp/macocu-langid-expected-{key_h.hexdigest()[:16]}.parquet"
+    if not os.path.exists(out):
+        _, trigrams = _reference_modules()
+        models = []
+        for lang in config.LANGUAGES:  # same deterministic order as the UDF
+            m = trigrams.Trigram()
+            m.parseLines([_read_data("lang_samples", lang)])
+            models.append((lang, m))
+        md5s, langs, diffs = [], [], []
+        for h, t in texts.items():
+            if not t:
+                best, best_diff = None, None
+            else:
+                doc = trigrams.Trigram()
+                doc.parseLines([t])
+                best, best_diff = None, 1.0
+                for lang, m in models:
+                    d = m - doc  # 1 - cosine, reference __sub__
+                    if d < best_diff:
+                        best, best_diff = lang, d
+                best_diff = round(best_diff, 6)
+            md5s.append(h)
+            langs.append(best)
+            diffs.append(best_diff)
+        pq.write_table(
+            pa.table({
+                "text_md5": md5s,
+                "best_lang": pa.array(langs, type=pa.string()),
+                "lang_diff": pa.array(diffs, type=pa.float64()),
+            }),
+            out,
+        )
+    return out
+
+
 def q_robots_filter(spark, sf):
     """Robots allowance matrix for fixture (host, path) pairs via the
-    vectorized rules UDF (F5/U10)."""
+    vectorized rules UDF (F5/U10); oracle = the reference robotparser's
+    own verdicts (_robots_expected_path)."""
     from macocu_crawler_spark.operators.domains import robots_allowed_udf
 
     robots = spark.read.parquet(f"{_fixture_dir()}/robots.parquet")
-    paths = spark.createDataFrame(
-        [("/",), ("/privat/skjult.html",), ("/nyhet1.html",), ("/ingen/x.html",)],
-        "path string",
-    )
+    paths = spark.createDataFrame([(p,) for p in ROBOTS_PROBE_PATHS], "path string")
     return robots.crossJoin(paths).select(
         "host", "path", robots_allowed_udf(F.col("body"), F.col("path")).alias("allowed")
     )
@@ -783,4 +905,17 @@ def oracle_sql() -> dict[str, str]:
         "text_subword_stats": textstats.SUBWORD_STATS_ORACLE,
         "text_quality_scores": textstats.QUALITY_ORACLE,
         "doc_fingerprints": dedup_text.FINGERPRINT_ORACLE,
+        # reference-differential oracles (VERDICT r3 task 3): the expected
+        # parquets are generated by the REFERENCE's own robotparser /
+        # trigrams code (see _robots_expected_path / _langid_expected_path)
+        "robots_filter": f"""
+            SELECT host, path, allowed
+            FROM read_parquet('{_robots_expected_path()}')
+        """,
+        "langid_trigram": f"""
+            SELECT d.doc_id, e.best_lang, e.lang_diff
+            FROM documents d
+            JOIN read_parquet('{_langid_expected_path()}') e
+              ON md5(d.text) = e.text_md5
+        """,
     }

@@ -55,8 +55,8 @@ def test_every_query_runs_and_oracles_cover(entrymod):
     # every oracle-less query is documented as rows-only (non-SQL ops)
     rows_only = set(qs) - set(os_)
     assert rows_only <= {
-        "langid_trigram", "ann_lsh_topk", "ann_ivf_topk", "crawl_rounds",
-        "crawl_extract", "robots_filter", "multimodal_features",
+        "ann_lsh_topk", "ann_ivf_topk", "crawl_rounds",
+        "crawl_extract", "multimodal_features",
         "streaming_ingest",
     }
 
@@ -77,6 +77,7 @@ def test_every_query_runs_and_oracles_cover(entrymod):
         "ann_bruteforce_topk", "text_token_stats", "text_subword_stats",
         "text_quality_scores",
         "doc_fingerprints",
+        "robots_filter", "langid_trigram",
     ],
 )
 def test_query_matches_oracle(spark, entrymod, duck, name):
@@ -88,5 +89,5 @@ def test_query_matches_oracle(spark, entrymod, duck, name):
 
 
 def test_rows_only_queries_return_rows(spark, entrymod):
-    for name in ("langid_trigram", "ann_lsh_topk", "multimodal_features"):
+    for name in ("ann_lsh_topk", "multimodal_features"):
         assert entrymod.queries()[name](spark, SF_DIR).count() > 0
