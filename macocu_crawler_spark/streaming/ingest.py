@@ -92,10 +92,13 @@ def run_ingest(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    dedup_horizon: str | None = None,
 ) -> None:
     """Drain the landing directory through the pipeline into a parquet
     documents sink (exactly-once via the checkpoint)."""
-    docs = extract_stream(read_pages_stream(spark, landing_dir))
+    docs = extract_stream(
+        read_pages_stream(spark, landing_dir), dedup_horizon=dedup_horizon
+    )
     writer = (
         docs.writeStream.format("parquet")
         .option("path", out_dir)
