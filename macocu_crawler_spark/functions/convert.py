@@ -239,12 +239,30 @@ def pdf_to_txt(data_bs: bytes) -> bytes:
     return "\n\n".join(blocks).encode("utf-8")
 
 
+def doc_to_txt(data_bs: bytes) -> bytes:
+    """.doc (Word 97 binary) → UTF-8 plain text, in-process: [MS-CFB]
+    container + FIB/piece-table walk (functions/ole2.py) instead of the
+    reference's antiword subprocess (process.py:58).  Paragraph marks come
+    out of the piece text as blank-line separators already; empty blocks
+    are dropped to match the other converters' block shape."""
+    from . import ole2
+
+    try:
+        text = ole2.doc_text(data_bs)
+    except Exception:
+        return b""
+    paras = [p.strip() for p in text.split("\n\n")]
+    return "\n\n".join(p for p in paras if p).encode("utf-8")
+
+
 # the in-process converter table (reference CONVERSION_COMMANDS,
-# process.py:58-64; doc/ps need external binaries and are not offered)
+# process.py:58-64; ps still needs ghostscript and is not offered —
+# COVERAGE.md documents the closure)
 CONVERTERS = {
     "docx": docx_to_txt,
     "odt": odt_to_txt,
     "pdf": pdf_to_txt,
+    "doc": doc_to_txt,
 }
 
 

@@ -52,6 +52,138 @@ def make_odt(paragraphs: list[str]) -> bytes:
     return buf.getvalue()
 
 
+def make_doc(paragraphs: list[str], with_prc: bool = False) -> bytes:
+    """A spec-faithful minimal Word 97 .doc: [MS-CFB] container (512-byte
+    sectors, FAT + directory + miniFAT — the Table stream is mini-stream
+    resident like in real small .doc files) holding a WordDocument stream
+    (FIB + text) and a 1Table stream (Clx piece table).  Each paragraph
+    becomes one piece, compressed (cp1252 at fc/2) when its chars fit
+    cp1252 and UTF-16LE otherwise — so a mixed document exercises both
+    piece encodings.  ``with_prc`` prepends a Prc the parser must skip."""
+    import struct
+
+    # --- WordDocument stream: FIB + piece texts --------------------------
+    fib = bytearray(1472)
+    struct.pack_into("<HH", fib, 0, 0xA5EC, 0x00C1)  # wIdent, nFib
+    struct.pack_into("<H", fib, 0x0A, 0x0200)        # fWhichTblStm → 1Table
+    struct.pack_into("<H", fib, 32, 0x000E)          # csw
+    struct.pack_into("<H", fib, 62, 0x0016)          # cslw
+    struct.pack_into("<H", fib, 152, 0x005D)         # cbRgFcLcb (nFib 00C1)
+    word = bytearray(fib)
+    while len(word) % 512:
+        word.append(0)
+    pieces = []  # (cp_len, fc_raw)
+    total_cp = 0
+    for p in paragraphs:
+        txt = p + "\r"
+        try:
+            raw = txt.encode("cp1252")
+            fc_raw = 0x40000000 | (len(word) * 2)
+        except UnicodeEncodeError:
+            raw = txt.encode("utf-16-le")
+            fc_raw = len(word)
+        word.extend(raw)
+        pieces.append((len(txt), fc_raw))
+        total_cp += len(txt)
+    struct.pack_into("<I", word, 0x4C, total_cp)     # ccpText
+
+    # --- 1Table stream: Clx ----------------------------------------------
+    n = len(pieces)
+    plc = bytearray()
+    cp = 0
+    for cp_len, _ in pieces:
+        plc += struct.pack("<I", cp)
+        cp += cp_len
+    plc += struct.pack("<I", cp)
+    for _, fc_raw in pieces:
+        plc += struct.pack("<HIH", 0, fc_raw, 0)     # PCD: flags, fc, prm
+    clx = bytearray()
+    if with_prc:
+        clx += b"\x01" + struct.pack("<H", 4) + b"\x00" * 4
+    clx += b"\x02" + struct.pack("<I", len(plc)) + plc
+    table = bytes(clx)
+    struct.pack_into("<II", word, 0x01A2, 0, len(table))  # fcClx, lcbClx
+
+    # --- pad WordDocument past the mini cutoff (real FIBs alone nearly
+    # reach it); 1Table stays small → mini stream ------------------------
+    while len(word) < 4096:
+        word.append(0)
+    word_bytes = bytes(word)
+
+    # --- CFB container ---------------------------------------------------
+    SS, MS = 512, 64
+    n_word = (len(word_bytes) + SS - 1) // SS
+    mini = table + b"\x00" * (-len(table) % MS)
+    n_mini_sect = (len(mini) + SS - 1) // SS
+    # sector layout: 0 dir | 1..n_word WordDocument | ministream | miniFAT | FAT
+    s_word = 1
+    s_mini = s_word + n_word
+    s_minifat = s_mini + n_mini_sect
+    s_fat = s_minifat + 1
+    total = s_fat + 1
+
+    FREE, END, FATS = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    fat = [FREE] * (SS // 4)
+    fat[0] = END
+    for i in range(n_word):
+        fat[s_word + i] = s_word + i + 1 if i < n_word - 1 else END
+    for i in range(n_mini_sect):
+        fat[s_mini + i] = s_mini + i + 1 if i < n_mini_sect - 1 else END
+    fat[s_minifat] = END
+    fat[s_fat] = FATS
+    minifat = [FREE] * (SS // 4)
+    n_mini_units = len(mini) // MS
+    for i in range(n_mini_units):
+        minifat[i] = i + 1 if i < n_mini_units - 1 else END
+
+    def dirent(name, typ, start, size, left=FREE, right=FREE, child=FREE):
+        ent = bytearray(128)
+        raw = name.encode("utf-16-le")
+        ent[: len(raw)] = raw
+        struct.pack_into("<H", ent, 64, len(raw) + 2)
+        ent[66] = typ
+        ent[67] = 1  # black
+        struct.pack_into("<III", ent, 68, left, right, child)
+        struct.pack_into("<IQ", ent, 116, start, size)
+        return bytes(ent)
+
+    directory = (
+        dirent("Root Entry", 5, s_mini, len(mini), child=1)
+        + dirent("WordDocument", 2, s_word, len(word_bytes), left=2)
+        + dirent("1Table", 2, 0, len(table))
+        + b"\x00" * 128
+    )
+
+    header = bytearray(512)
+    header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0x003E)   # minor version
+    struct.pack_into("<H", header, 26, 0x0003)   # major version (512-byte)
+    struct.pack_into("<H", header, 28, 0xFFFE)   # byte order
+    struct.pack_into("<HH", header, 30, 9, 6)    # sector/mini shifts
+    struct.pack_into(
+        "<9I", header, 40,
+        0,          # n dir sectors (0 in v3)
+        1,          # n FAT sectors
+        0,          # first dir sector
+        0,          # transaction sig
+        4096,       # mini cutoff
+        s_minifat, 1,   # first miniFAT sector, count
+        END, 0,     # first DIFAT sector, count
+    )
+    difat = [s_fat] + [FREE] * 108
+    struct.pack_into("<109I", header, 76, *difat)
+
+    sectors = [None] * total
+    sectors[0] = directory + b"\x00" * (SS - len(directory))
+    for i in range(n_word):
+        sectors[s_word + i] = word_bytes[i * SS : (i + 1) * SS].ljust(SS, b"\x00")
+    for i in range(n_mini_sect):
+        sectors[s_mini + i] = mini[i * SS : (i + 1) * SS].ljust(SS, b"\x00")
+    sectors[s_minifat] = struct.pack(f"<{SS // 4}I", *minifat)
+    sectors[s_fat] = struct.pack(f"<{SS // 4}I", *fat)
+    return bytes(header) + b"".join(sectors)
+
+
 class TestConverters:
     def test_docx_paragraph_blocks(self):
         out = convert.docx_to_txt(make_docx(["Første avsnitt.", "Andre avsnitt."]))
@@ -89,7 +221,7 @@ class TestConverters:
         assert convert.convert_to_txt("ps", b"%!PS") == b""  # not offered
 
     def test_unknown_type_not_offered(self):
-        assert set(convert.CONVERTERS) == {"docx", "odt", "pdf"}
+        assert set(convert.CONVERTERS) == {"docx", "odt", "pdf", "doc"}
 
 
 def make_pdf(paragraphs: list[str], compress: bool = False) -> bytes:
@@ -179,6 +311,62 @@ DOCX_HDR = (
 ODT_HDR = (
     b"HTTP/1.1 200 OK\r\nContent-Type: application/vnd.oasis.opendocument.text\r\n\r\n"
 )
+DOC_HDR = b"HTTP/1.1 200 OK\r\nContent-Type: application/msword\r\n\r\n"
+
+
+class TestDoc:
+    def test_doc_paragraph_blocks(self):
+        out = convert.doc_to_txt(make_doc(["Første avsnitt.", "Andre avsnitt."]))
+        assert out == "Første avsnitt.\n\nAndre avsnitt.".encode("utf-8")
+
+    def test_doc_mixed_piece_encodings(self):
+        """One cp1252 (compressed) piece and one UTF-16LE piece in the same
+        document — the per-piece fCompressed bit drives the decode."""
+        paras = ["Vanlig norsk tekst med æøå.", "Gresk Δέλτα og mer tekst."]
+        out = convert.doc_to_txt(make_doc(paras)).decode("utf-8")
+        assert out == "\n\n".join(paras)
+
+    def test_doc_prc_skipped(self):
+        out = convert.doc_to_txt(make_doc(["En paragraf."], with_prc=True))
+        assert out == "En paragraf.".encode("utf-8")
+
+    def test_doc_control_chars_mapped(self):
+        from macocu_crawler_spark.functions import ole2
+
+        text = ole2.doc_text(make_doc(["Linje\x0bto", "Felt\x13ref\x14res\x15t"]))
+        assert "Linje\nto" in text
+        assert "Feltrest" in text  # field begin/sep vanish, result text kept
+
+    def test_mini_stream_table_read(self):
+        """The generator stores 1Table in the MINI stream (size < 4096) —
+        decoding proves the miniFAT/ministream path, the allocator real
+        small .doc files actually use."""
+        from macocu_crawler_spark.functions import ole2
+
+        cf = ole2.CompoundFile(make_doc(["X" * 20]))
+        assert "1Table" in cf.stream_names()
+        table = cf.read_stream("1Table")
+        assert len(table) < 4096 and table[0] == 0x02
+
+    def test_corrupt_doc_yields_empty(self):
+        assert convert.doc_to_txt(b"\xd0\xcf\x11\xe0 garbage") == b""
+        assert convert.doc_to_txt(b"not ole at all") == b""
+        # valid container, truncated WordDocument stream
+        doc = bytearray(make_doc(["En paragraf."]))
+        # WordDocument stream = sector 1 = file offset 1024
+        doc[1024 + 0x1A6 : 1024 + 0x1AA] = (10 ** 6).to_bytes(4, "little")  # lcbClx lies
+        assert convert.doc_to_txt(bytes(doc)) == b""
+
+    def test_encrypted_doc_refused(self):
+        doc = bytearray(make_doc(["Hemmelig."]))
+        # WordDocument stream = sector 1 = file offset 1024; sanity-check we
+        # are really flipping the FIB flags (wIdent sits 10 bytes earlier)
+        import struct
+
+        assert struct.unpack_from("<H", doc, 1024)[0] == 0xA5EC
+        flags = struct.unpack_from("<H", doc, 1024 + 0x0A)[0]
+        struct.pack_into("<H", doc, 1024 + 0x0A, flags | 0x0100)
+        assert convert.doc_to_txt(bytes(doc)) == b""
 
 
 class TestConversionPipeline:
@@ -207,6 +395,40 @@ class TestConversionPipeline:
         )
         assert row["file_type"] == "odt"
         assert row["txt_len"] > 0
+
+    def test_doc_page_produces_prevert_doc(self, monkeypatch):
+        monkeypatch.setattr(config, "CONVERSION_ENABLED", True)
+        row = self._process(
+            make_doc([GOOD_NO_PAR, GOOD_NO_PAR + " Og mer tekst om planen."]),
+            DOC_HDR, "http://example.no/rapport.doc",
+        )
+        assert row["file_type"] == "doc"
+        assert row["txt_len"] > 0
+        assert "Kommunen" in row["text"]
+        assert 'file_type="doc"' in row["prevert"]
+
+    def test_doc_admission_flips_with_conversion_flag(self, monkeypatch):
+        assert urlkit.check_url_path("/rapport.doc") == "binary-file"
+        monkeypatch.setattr(config, "CONVERSION_ENABLED", True)
+        assert urlkit.check_url_path("/rapport.doc") is None
+
+    def test_ps_closure_routes_to_empty(self, monkeypatch):
+        """Formal U3 ps closure: ps2ascii needs a PostScript INTERPRETER
+        (ghostscript, absent; the language is Turing-complete so there is
+        no bounded in-process slice).  With conversion ON, *.ps is admitted
+        (flag flips the path check) but extraction hits the b'' converter
+        contract and the page falls out as "cannot extract text"."""
+        monkeypatch.setattr(config, "CONVERSION_ENABLED", True)
+        assert urlkit.check_url_path("/figur.ps") is None  # admitted
+        row = self._process(
+            b"%!PS-Adobe-3.0\n/Helvetica findfont 12 scalefont setfont\n"
+            b"72 700 moveto (Usynlig tekst) show\nshowpage\n",
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/postscript\r\n\r\n",
+            "http://example.no/figur.ps",
+        )
+        assert row["file_type"] == "ps"
+        assert row["txt_len"] == 0
+        assert "cannot extract text" in row["error_msgs"]
 
     def test_conversion_disabled_drops_binary(self):
         assert config.CONVERSION_ENABLED is False  # reference default
