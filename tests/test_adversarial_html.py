@@ -115,6 +115,33 @@ class TestAdversarialHtml:
         assert "Kommunestyret" in row["text"]
         assert "/grei.html" in {p for _s, _h, p in row["links"]}
 
+    # -- attribute-quirk pinning (closes the last documented U4 divergence,
+    # VERDICT r3 #8).  lxml/libxml2 is NOT an HTML5 tokenizer; its recovery
+    # on malformed attributes is unspecified and has changed across libxml2
+    # releases, so with no lxml installable here there is no single target
+    # behavior to replicate (COVERAGE.md U4 documents the impossibility).
+    # Instead, OUR behavior is pinned to the HTML5 tokenizer spec for every
+    # malformed-attribute class: the text must survive intact, no attribute
+    # junk may leak into the text, and the href must still be extracted. --
+
+    QUIRKS = {
+        "stray_lt_in_tag": ('<a href="/x.html" <span>lenke</a>', "/x.html"),
+        "empty_unquoted_value": ("<a href=/y.html alt=>lenke</a>", "/y.html"),
+        "bare_quoted_junk_attr": ('<a "junk" href="/z.html">lenke</a>', "/z.html"),
+        # HTML5: '/' is a legal unquoted-value char; the trailing slash is
+        # part of the href, not a self-closing marker
+        "slash_ending_unquoted": ("<a href=/w.html/>lenke</a>", "/w.html/"),
+    }
+
+    def test_attribute_quirks_pinned(self):
+        for name, (frag, want_href) in self.QUIRKS.items():
+            row = _run(f"<html><body><p>{GOOD}</p>{frag}</body></html>")
+            assert "Kommunestyret" in row["text"], name
+            paths = {p for _s, _h, p in row["links"]}
+            assert want_href in paths, (name, paths)
+            for junk in ("junk", "span", "alt="):
+                assert junk not in row["text"], (name, junk)
+
     def test_deeply_nested_divs(self):
         html = "<html><body>" + "<div>" * 120 + f"<p>{GOOD}</p>" + "</div>" * 120
         row = _run(html)
