@@ -81,13 +81,19 @@ class CompoundFile:
         return self.data[off : off + self.sector_size]
 
     def _read_fat(self) -> list[int]:
-        # DIFAT: 109 header entries + chained DIFAT sectors
+        # DIFAT: 109 header entries + chained DIFAT sectors.  The chain is
+        # bounded by the number of sectors that physically fit in the file
+        # and cycle-checked — untrusted n_difat_sectors / next-pointers must
+        # not loop forever (web-fetched .doc bytes are adversarial input)
         difat = list(struct.unpack_from("<109I", self.data, 76))
         sec = self.first_difat_sector
         per = self.sector_size // 4 - 1
-        for _ in range(self.n_difat_sectors):
-            if sec in (ENDOFCHAIN, FREESECT):
+        max_sectors = len(self.data) // self.sector_size + 1
+        seen: set[int] = set()
+        for _ in range(min(self.n_difat_sectors, max_sectors)):
+            if sec in (ENDOFCHAIN, FREESECT) or sec in seen:
                 break
+            seen.add(sec)
             raw = struct.unpack(f"<{per + 1}I", self._sector(sec))
             difat.extend(raw[:per])
             sec = raw[per]

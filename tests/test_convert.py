@@ -357,6 +357,44 @@ class TestDoc:
         doc[1024 + 0x1A6 : 1024 + 0x1AA] = (10 ** 6).to_bytes(4, "little")  # lcbClx lies
         assert convert.doc_to_txt(bytes(doc)) == b""
 
+    def test_difat_cycle_does_not_hang(self):
+        """A mutated header pointing the DIFAT chain at itself with a huge
+        sector count must fail fast, not loop forever (found by the
+        mutation fuzz below — web-fetched .doc bytes are adversarial)."""
+        import struct
+
+        doc = bytearray(make_doc(["En paragraf."]))
+        # first DIFAT sector → sector 0 (whose trailing next-pointer is
+        # arbitrary data), count → huge.  The walk is cycle-checked and
+        # bounded by the file's physical sector count, so this returns
+        # promptly (the junk FAT entries past n_fat_sectors are ignored,
+        # so the text may still extract — termination is the contract)
+        struct.pack_into("<II", doc, 68, 0, 0xFFFFFF)
+        assert isinstance(convert.doc_to_txt(bytes(doc)), bytes)
+
+    def test_mutation_fuzz_never_crashes(self):
+        """300 seeded random mutations (byte flips, truncations, inserts)
+        of a valid .doc: doc_to_txt must always return bytes — b'' on
+        failure — and never raise or hang."""
+        import random
+
+        base = make_doc(["Første avsnitt om planen.", "Andre med Δ tegn."])
+        rng = random.Random(42)
+        for _ in range(300):
+            doc = bytearray(base)
+            for _m in range(rng.randint(1, 8)):
+                op = rng.random()
+                if op < 0.5:
+                    doc[rng.randrange(len(doc))] = rng.randrange(256)
+                elif op < 0.8 and len(doc) > 600:
+                    doc = doc[: rng.randrange(512, len(doc))]
+                else:
+                    pos = rng.randrange(len(doc))
+                    doc[pos:pos] = bytes(
+                        rng.randrange(256) for _ in range(rng.randint(1, 32))
+                    )
+            assert isinstance(convert.doc_to_txt(bytes(doc)), bytes)
+
     def test_encrypted_doc_refused(self):
         doc = bytearray(make_doc(["Hemmelig."]))
         # WordDocument stream = sector 1 = file offset 1024; sanity-check we
