@@ -803,6 +803,12 @@ def main() -> None:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--scale", type=int, default=1)
     parser.add_argument("--master", default=None)
+    parser.add_argument("--use-bloom", action="store_true",
+                        help="route URL-seen through the partitioned Bloom "
+                             "pre-filter (exact anti-join stays authoritative)")
+    parser.add_argument("--bloom-increment", default="vectorized",
+                        choices=["vectorized", "distributed"],
+                        help="per-round Bloom maintenance mode")
     args = parser.parse_args()
     fixture_dir = args.fixture_dir
     if fixture_dir is None:
@@ -810,7 +816,15 @@ def main() -> None:
         write_fixtures(fixture_dir, scale=args.scale)
     workdir = args.workdir or tempfile.mkdtemp(prefix="macocu-crawl-")
     spark = get_spark(app_name="macocu-crawl", master=args.master)
-    driver = CrawlDriver(spark, fixture_dir, workdir)
+    params = None
+    if args.use_bloom:
+        from .simulator import CrawlParams
+
+        params = CrawlParams(
+            use_bloom_prefilter=True,
+            bloom_increment_mode=args.bloom_increment,
+        )
+    driver = CrawlDriver(spark, fixture_dir, workdir, params=params)
     if args.resume:
         driver.resume()
     driver.run(max_rounds=args.rounds)
