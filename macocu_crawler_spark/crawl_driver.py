@@ -198,6 +198,8 @@ class CrawlDriver:
         self.domains: DataFrame | None = None
         self.frontier: DataFrame | None = None
         self.url_seen: DataFrame | None = None
+        # scale path: [bucketed base] + per-round delta legs (or None)
+        self._seen_parts: list[DataFrame] | None = None
         self.seen_txt: DataFrame | None = None
         self.seen_raw: DataFrame | None = None
         self.robot_redirects: DataFrame | None = None
@@ -272,6 +274,7 @@ class CrawlDriver:
         self.url_seen = self._pin_durable("url_seen", new_seen)
         self.domains = self._pin_durable("domains", domains2)
         self._init_bloom()
+        self._compact_seen_parts()
         # the remaining state tables are empty at init — they stay
         # in-memory and hit the catalog at the first commit()
 
@@ -283,6 +286,27 @@ class CrawlDriver:
             from .operators.urlseen import BloomState
 
             self._bloom = BloomState.from_url_seen(self.url_seen)
+
+    def _compact_seen_parts(self) -> None:
+        """Scale path (use_bucketed_seen): rewrite the full seen set as a
+        bucketed table on the seen key — the admission anti-join then needs
+        an Exchange only on the (small) candidates side; the base scan is
+        read bucket-for-bucket in place (urlseen.write_bucketed_seen).
+        Between compactions, each round's new-seen leg is appended to the
+        parts list and AQE broadcasts it in the chained anti-join."""
+        self._seen_parts = None
+        if not getattr(self.params, "use_bucketed_seen", False):
+            return
+        import hashlib
+
+        from .operators.urlseen import write_bucketed_seen
+
+        root = self.catalog.root
+        table = "url_seen_bkt_" + hashlib.md5(root.encode()).hexdigest()[:10]
+        location = os.path.join(root, "url_seen_bucketed")
+        n_buckets = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        base = write_bucketed_seen(self.url_seen, location, table, n_buckets)
+        self._seen_parts = [base]
 
     # -- one round ------------------------------------------------------------------
     def run_round(self) -> int:
@@ -588,6 +612,7 @@ class CrawlDriver:
         new_rows, new_seen, domains2 = admit_links(
             links, domains, self.url_seen, self.dns, round_no=r,
             params=self.params,
+            url_seen_parts=self._seen_parts,
             bloom_map_bc=(
                 self._bloom.broadcast_map(self.spark.sparkContext)
                 if self._bloom
@@ -631,6 +656,8 @@ class CrawlDriver:
         self.frontier = frontier_pinned
         self.domains = domains_pinned
         self.url_seen = self.url_seen.unionByName(seen_pinned)
+        if self._seen_parts is not None:
+            self._seen_parts.append(seen_pinned)
         if self._bloom is not None:
             # incremental maintenance: only this round's new keys are
             # collected (bucket + two int64 hashes per key); a bucket past
@@ -654,6 +681,7 @@ class CrawlDriver:
                 lambda: self._pin_durable("seen_txt", self.seen_txt),
                 lambda: self._pin_durable("seen_raw", self.seen_raw),
             )
+            self._compact_seen_parts()
         self.metrics.append({"round": r, "selected": n_selected, "processed": n_processed})
         if self.checkpoint_every and r % self.checkpoint_every == 0:
             self.commit()
@@ -765,6 +793,7 @@ class CrawlDriver:
         for name in self.STATE_TABLES:
             setattr(self, name, self.catalog.read(self.spark, name, version=self.round_no))
         self._init_bloom()
+        self._compact_seen_parts()
         # outputs appended by rounds AFTER the resumed snapshot belong to the
         # crashed run — drop their manifest entries (the re-run overwrites
         # the same versions, so readers never see torn/stale rounds)
@@ -809,6 +838,10 @@ def main() -> None:
     parser.add_argument("--bloom-increment", default="vectorized",
                         choices=["vectorized", "distributed"],
                         help="per-round Bloom maintenance mode")
+    parser.add_argument("--bucketed-seen", action="store_true",
+                        help="store the compacted URL-seen set as a bucketed "
+                             "table so the exact anti-join never reshuffles "
+                             "the seen side")
     args = parser.parse_args()
     fixture_dir = args.fixture_dir
     if fixture_dir is None:
@@ -817,12 +850,13 @@ def main() -> None:
     workdir = args.workdir or tempfile.mkdtemp(prefix="macocu-crawl-")
     spark = get_spark(app_name="macocu-crawl", master=args.master)
     params = None
-    if args.use_bloom:
+    if args.use_bloom or args.bucketed_seen:
         from .simulator import CrawlParams
 
         params = CrawlParams(
-            use_bloom_prefilter=True,
+            use_bloom_prefilter=args.use_bloom,
             bloom_increment_mode=args.bloom_increment,
+            use_bucketed_seen=args.bucketed_seen,
         )
     driver = CrawlDriver(spark, fixture_dir, workdir, params=params)
     if args.resume:

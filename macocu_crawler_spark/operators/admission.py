@@ -46,6 +46,7 @@ def admit_links(
     params,
     bloom_map: dict[int, bytes] | None = None,
     bloom_map_bc=None,
+    url_seen_parts: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """links: (src_scheme, src_host, scheme, host, path, seq) — seq is the
     in-batch admission order (fetch order × link position).
@@ -132,14 +133,21 @@ def admit_links(
         .unionByName(root_rows.select("scheme", "host", "path", "seq"))
         .withColumn("path_sanitised", sanitise(F.col("path")))
     )
+    # url_seen_parts (scale path): the seen set as [bucketed base] +
+    # small delta legs — the chained anti-join is set-equivalent to the
+    # union join but the bucketed base needs no Exchange (urlseen.py)
+    from .urlseen import anti_join_seen_parts
+
+    seen_parts = url_seen_parts if url_seen_parts else [url_seen]
     if getattr(params, "use_bloom_prefilter", False):
         from .urlseen import filter_new_candidates
 
         cand = filter_new_candidates(
-            cand, url_seen, bloom_map=bloom_map, bloom_map_bc=bloom_map_bc
+            cand, url_seen, bloom_map=bloom_map, bloom_map_bc=bloom_map_bc,
+            url_seen_parts=seen_parts,
         )
     else:
-        cand = cand.join(url_seen, ["scheme", "host", "path_sanitised"], "left_anti")
+        cand = anti_join_seen_parts(cand, seen_parts)
     seen_w = Window.partitionBy("scheme", "host", "path_sanitised").orderBy("seq")
     cand = cand.withColumn("seen_rn", F.row_number().over(seen_w)).filter(
         F.col("seen_rn") == 1

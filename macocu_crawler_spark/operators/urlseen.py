@@ -124,7 +124,7 @@ def _might_contain_udf(bloom_map_bc):
 def filter_new_candidates(
     candidates: DataFrame, url_seen: DataFrame, n_buckets: int = 32,
     blooms: DataFrame | None = None, bloom_map: dict[int, bytes] | None = None,
-    bloom_map_bc=None,
+    bloom_map_bc=None, url_seen_parts: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Drop candidates already in url_seen: Bloom pre-filter + exact
     anti-join (equivalent to a plain anti-join; tested so).
@@ -168,12 +168,61 @@ def filter_new_candidates(
         )
     )
     definitely_new = flagged.filter(~F.col("_maybe_seen"))
-    needs_exact = flagged.filter(F.col("_maybe_seen")).join(
-        url_seen, ["scheme", "host", "path_sanitised"], "left_anti"
+    needs_exact = anti_join_seen_parts(
+        flagged.filter(F.col("_maybe_seen")),
+        url_seen_parts if url_seen_parts else [url_seen],
     )
     return definitely_new.unionByName(needs_exact).drop(
         "_bucket", "_h1", "_h2", "_maybe_seen"
     )
+
+
+SEEN_KEY_COLS = ["scheme", "host", "path_sanitised"]
+
+
+def write_bucketed_seen(
+    url_seen: DataFrame, location: str, table: str, n_buckets: int = 32
+) -> DataFrame:
+    """Persist url_seen as a BUCKETED table on the seen key and return the
+    bucketed relation.
+
+    This is the Iceberg-bucketing story for the exact anti-join: a plain
+    parquet seen set makes every round's admission shuffle BOTH sides of
+    the anti-join on the seen key — at 10^10 seen rows, a full reshuffle
+    of the biggest table in the system per round.  Bucketed storage makes
+    the scan itself hash-partitioned on the join key, so the SortMergeJoin
+    needs an Exchange only on the (small) candidates side: the seen side
+    is read in place, bucket-for-bucket (plan-asserted in
+    tests/test_plans.py).  Appends between compactions stay as small
+    delta relations that AQE broadcasts; `anti_join_seen_parts` chains
+    the two — equivalent to the anti-join against the union.
+    """
+    import shutil
+
+    spark = url_seen.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(location, ignore_errors=True)  # stale unregistered dir
+    (
+        url_seen.select(*SEEN_KEY_COLS)
+        .write.bucketBy(n_buckets, *SEEN_KEY_COLS)
+        .sortBy(*SEEN_KEY_COLS)
+        .option("path", location)
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def anti_join_seen_parts(candidates: DataFrame, parts: list[DataFrame]) -> DataFrame:
+    """candidates MINUS every seen relation, as chained left-anti joins —
+    set-equivalent to one anti-join against the union, but each part keeps
+    its own physical strategy: a bucketed base joins with no Exchange on
+    the big side, small delta legs broadcast."""
+    out = candidates
+    for part in parts:
+        out = out.join(part, SEEN_KEY_COLS, "left_anti")
+    return out
 
 
 def probe_hashes(df: DataFrame, n_buckets: int = 32) -> DataFrame:

@@ -108,6 +108,12 @@ class CrawlParams:
     # 'distributed' (executor-side delta bitsets, driver ORs <=n_buckets
     # rows) — the scale path for very wide rounds; semantics identical
     bloom_increment_mode: str = "vectorized"
+    # Spark-side knob: keep the compacted url_seen as a BUCKETED table on
+    # the seen key so the exact anti-join never reshuffles the seen side
+    # (operators/urlseen.write_bucketed_seen); deltas between compactions
+    # stay small broadcastable legs.  Semantics identical to the plain
+    # union anti-join (chained anti-joins; tested equivalent)
+    use_bucketed_seen: bool = False
 
     def yield_threshold(self, doc_count: int) -> float:
         return self.yield_coeff * (log10(doc_count) - 1)

@@ -150,6 +150,52 @@ def test_bloom_prefilter_resume_equivalence(spark, fixture_dir, sim_result):
     assert _fetch_log(drv2) == sim_prefix
 
 
+def test_bucketed_seen_driver_equivalence(spark, fixture_dir, sim_result):
+    """use_bucketed_seen (the 10^10-scale anti-join path: bucketed base +
+    broadcast delta legs, chained anti-joins) must not change any crawl
+    decision vs the simulator — with and without the bloom on top."""
+    for bloom in (False, True):
+        drv = CrawlDriver(
+            spark, fixture_dir, tempfile.mkdtemp(),
+            CrawlParams(max_rounds=6, use_bucketed_seen=True,
+                        use_bloom_prefilter=bloom),
+            checkpoint_every=0,
+        )
+        drv.run()
+        assert drv._seen_parts is not None and len(drv._seen_parts) >= 2
+        sim_prefix = [(r, s + 1, u) for r, s, u in sim_result.fetch_log if r <= 6]
+        assert _fetch_log(drv) == sim_prefix, f"bloom={bloom}"
+        # the parts decompose the authoritative seen set exactly
+        from functools import reduce
+
+        union = reduce(lambda a, b: a.unionByName(b), drv._seen_parts)
+        assert (
+            sorted(map(tuple, union.collect()))
+            == sorted(map(tuple, drv.url_seen.collect()))
+        )
+
+
+def test_bucketed_seen_resume_equivalence(spark, fixture_dir, sim_result):
+    """Resume with use_bucketed_seen: the bucketed base is rebuilt from the
+    url_seen snapshot (derived state) and the continued crawl matches."""
+    workdir = tempfile.mkdtemp()
+    drv1 = CrawlDriver(
+        spark, fixture_dir, workdir,
+        CrawlParams(max_rounds=3, use_bucketed_seen=True), checkpoint_every=3,
+    )
+    drv1.run()
+    del drv1
+    drv2 = CrawlDriver(
+        spark, fixture_dir, workdir,
+        CrawlParams(max_rounds=6, use_bucketed_seen=True), checkpoint_every=0,
+    )
+    drv2.resume()
+    assert drv2._seen_parts is not None  # rebuilt from the snapshot
+    drv2.run(max_rounds=3)
+    sim_prefix = [(r, s + 1, u) for r, s, u in sim_result.fetch_log if r <= 6]
+    assert _fetch_log(drv2) == sim_prefix
+
+
 def test_multilingual_yield_rule_kills_domain(spark, fixture_dir, fixture_web):
     """MULTILINGUAL mode (domain.py:239-243): with NO primary language
     producible, every text-yielding domain dies once past the minimums —

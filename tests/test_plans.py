@@ -181,6 +181,45 @@ class TestSchedulerPlanShape:
         assert sel.count() == n_hosts  # 1 per host, all under max_url_select
 
 
+class TestBucketedSeenPlan:
+    def test_anti_join_reads_seen_side_without_exchange(self, spark, tmp_path):
+        """The 10^10-scale URL-seen anti-join: with url_seen stored as a
+        bucketed table on the seen key, the SortMergeJoin needs an Exchange
+        ONLY on the (small) candidates side — the seen side scans in place,
+        bucket-for-bucket (Bucketed: true).  A plain parquet seen set would
+        reshuffle the biggest table in the system every round."""
+        from macocu_crawler_spark.operators.urlseen import (
+            anti_join_seen_parts,
+            write_bucketed_seen,
+        )
+
+        def keyed(n, pref):
+            return spark.range(n).select(
+                F.when(F.col("id") % 7 == 0, "https").otherwise("http")
+                .alias("scheme"),
+                F.concat(F.lit("h"), F.col("id") % 97).alias("host"),
+                F.concat(F.lit(pref), F.col("id")).alias("path_sanitised"),
+            )
+
+        base = write_bucketed_seen(
+            keyed(50_000, "/p"), str(tmp_path / "seen_bkt"),
+            "url_seen_bkt_plan_test", n_buckets=32,
+        )
+        original = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force the SMJ (the seen side is tiny here; at 10^10 rows no
+            # broadcast is possible and SMJ is the real plan)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = anti_join_seen_parts(keyed(500, "/q"), [base])
+            ps = plan_string(out)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", original)
+            spark.sql("DROP TABLE IF EXISTS url_seen_bkt_plan_test")
+        assert "Bucketed: true" in ps, ps
+        assert ps.count("Exchange") == 1  # candidates side only
+        assert out.count() == 500  # all candidates new
+
+
 class TestNoUnkeyedWindowsAnywhere:
     """Repo-wide window policy (VERDICT r3 #6): NO driver entry may plan an
     unkeyed (single-partition) window over unbounded input.  Unkeyed
