@@ -471,6 +471,66 @@ def run_ip_skew_bench(n_urls: int = 500_000, n_hosts: int = 50_000) -> dict:
         spark.stop()
 
 
+def run_seen_join_bench(n_seen: int = 10_000_000, n_cand: int = 1_000_000) -> dict:
+    """The URL-seen exact anti-join at 10^7 seen keys, both storage
+    layouts: plain parquet (both sides shuffle on the seen key — what a
+    naive seen table costs every round) vs the bucketed table
+    (urlseen.write_bucketed_seen: seen side scans in place, only the
+    candidates shuffle).  Broadcast is disabled — at 10^10 rows no
+    broadcast is possible, so SMJ is the real plan."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from macocu_crawler_spark.operators.urlseen import (
+        anti_join_seen_parts,
+        write_bucketed_seen,
+    )
+
+    spark = make_spark(CPUS)
+    tmp = tempfile.mkdtemp(prefix="macocu-seenbench-")
+    original = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def keyed(start, n, pref):
+            return spark.range(start, start + n).select(
+                F.when(F.col("id") % 7 == 0, "https").otherwise("http")
+                .alias("scheme"),
+                F.concat(F.lit("h"), F.col("id") % 100_000).alias("host"),
+                F.concat(F.lit(pref), F.col("id")).alias("path_sanitised"),
+            )
+
+        seen = keyed(0, n_seen, "/p")
+        plain_path = f"{tmp}/seen_plain"
+        seen.write.parquet(plain_path)
+        plain = spark.read.parquet(plain_path)
+        bucketed = write_bucketed_seen(
+            seen, f"{tmp}/seen_bkt", "url_seen_bkt_bench", n_buckets=CPUS
+        )
+        cand = keyed(n_seen - n_cand // 2, n_cand, "/p").cache()  # half seen
+        cand.count()
+        result = {"seen_keys": n_seen, "candidates": n_cand}
+        for label, rel in (("plain_parquet", plain), ("bucketed_table", bucketed)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                n_new = anti_join_seen_parts(cand, [rel]).count()
+                best = (time.time() - t0) if best is None else min(best, time.time() - t0)
+            result[label] = {"sec": round(best, 2), "new": n_new}
+            log(f"seen-join {label}: {n_new} new in {best:.1f}s")
+        result["speedup"] = round(
+            result["plain_parquet"]["sec"] / result["bucketed_table"]["sec"], 2
+        )
+        return result
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", original)
+        spark.sql("DROP TABLE IF EXISTS url_seen_bkt_bench")
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_controls() -> dict:
     """Hardware-ceiling controls: the same 8→32-core comparison for (a) a
     pure-ALU Python workload and (b) a pure-JVM hash aggregation.  These
@@ -555,6 +615,7 @@ def main() -> None:
         sizes=(2_000_000, 8_000_000, 32_000_000) if full else (2_000_000,)
     )
     bloom = run_bloom_bench() if full else None
+    seen_join = run_seen_join_bench() if full else None
     skew = run_skew_bench()
     ip_skew = run_ip_skew_bench()
     queries = run_queries()
@@ -593,6 +654,8 @@ def main() -> None:
     })
     if bloom is not None:
         detail["bloom_at_1e7"] = bloom
+    if seen_join is not None:
+        detail["seen_join_at_1e7"] = seen_join
     os.makedirs(os.path.dirname(DETAIL_ARTIFACT), exist_ok=True)
     with open(DETAIL_ARTIFACT, "w") as f:
         json.dump(detail, f, indent=1)
