@@ -293,7 +293,10 @@ class CrawlDriver:
         an Exchange only on the (small) candidates side; the base scan is
         read bucket-for-bucket in place (urlseen.write_bucketed_seen).
         Between compactions, each round's new-seen leg is appended to the
-        parts list and AQE broadcasts it in the chained anti-join."""
+        parts list and AQE broadcasts it in the chained anti-join.  (The
+        local rewrite-per-compaction is a sandbox stand-in — an Iceberg
+        bucket-transform table takes appends in place; see
+        urlseen.write_bucketed_seen.)"""
         self._seen_parts = None
         if not getattr(self.params, "use_bucketed_seen", False):
             return
