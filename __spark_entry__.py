@@ -469,25 +469,50 @@ def q_crawl_extract(spark, sf):
 ROBOTS_PROBE_PATHS = ["/", "/privat/skjult.html", "/nyhet1.html", "/ingen/x.html"]
 
 
+_REF_MODULES_CACHE: tuple | None = None
+
+
 def _reference_modules():
     """Import the reference's pure-Python kernels (/root/reference is
     PUBLIC read-only content; its modules are used ONLY to generate oracle
     expectations, never shipped).  The reference robotparser hard-requires
     re2 — a stdlib-re stub is injected, safe for these small benign rule
-    files (same shim as tests/test_reference_differential.py)."""
+    files (same shim as tests/test_reference_differential.py).
+
+    The shim is SCOPED (ADVICE r4): sys.path and the re2/util entries in
+    sys.modules are saved and restored around the import, so a real re2
+    is never shadowed and no reference module leaks into later imports in
+    this process — the returned module objects keep their own internal
+    references to the stub, which is all they need."""
+    global _REF_MODULES_CACHE
+    if _REF_MODULES_CACHE is not None:
+        return _REF_MODULES_CACHE
+    import importlib
     import re as _re
     import types
 
-    if "re2" not in sys.modules:
+    shim_keys = ("re2", "util", "util.robotparser", "util.trigrams")
+    saved_modules = {k: sys.modules.get(k) for k in shim_keys}
+    saved_path = list(sys.path)
+    try:
         fake = types.ModuleType("re2")
         fake.escape, fake.compile = _re.escape, _re.compile
         fake.match, fake.sub = _re.match, _re.sub
         sys.modules["re2"] = fake
-    if "/root/reference" not in sys.path:
+        for k in ("util", "util.robotparser", "util.trigrams"):
+            sys.modules.pop(k, None)  # force the REFERENCE's util package
         sys.path.append("/root/reference")
-    from util import robotparser, trigrams
-
-    return robotparser, trigrams
+        robotparser = importlib.import_module("util.robotparser")
+        trigrams = importlib.import_module("util.trigrams")
+    finally:
+        sys.path[:] = saved_path
+        for k, v in saved_modules.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    _REF_MODULES_CACHE = (robotparser, trigrams)
+    return _REF_MODULES_CACHE
 
 
 def _robots_expected_path() -> str:
@@ -495,18 +520,27 @@ def _robots_expected_path() -> str:
     REFERENCE robotparser — a true differential oracle: the driver's hash
     check then compares our vectorized rules UDF against the reference's
     own matching, value by value (VERDICT r3 task 3)."""
+    import hashlib
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from macocu_crawler_spark import config
 
     fd = _fixture_dir()
-    out = os.path.join(fd, "robots_expected.parquet")
+    tbl = pq.read_table(
+        os.path.join(fd, "robots.parquet"), columns=["host", "body"]
+    ).to_pydict()
+    # cache keyed on robots CONTENT + probe paths + agent (ADVICE r4): a
+    # regenerated fixture with different robots bodies can never silently
+    # reuse a stale expectation table
+    key_h = hashlib.md5()
+    for host, body in zip(tbl["host"], tbl["body"]):
+        key_h.update(repr((host, body)).encode())
+    key_h.update(repr((ROBOTS_PROBE_PATHS, config.AGENT)).encode())
+    out = os.path.join(fd, f"robots_expected-{key_h.hexdigest()[:16]}.parquet")
     if not os.path.exists(out):
         robotparser, _ = _reference_modules()
-        tbl = pq.read_table(
-            os.path.join(fd, "robots.parquet"), columns=["host", "body"]
-        ).to_pydict()
         hosts, paths, allowed = [], [], []
         for host, body in zip(tbl["host"], tbl["body"]):
             for p in ROBOTS_PROBE_PATHS:
@@ -555,6 +589,11 @@ def _langid_expected_path() -> str:
                 texts[h] = t
     for h in sorted(texts):
         key_h.update(h.encode())
+    # the expectation also depends on the model side (ADVICE r4): fold the
+    # language list and each training sample's content into the cache key
+    for lang in config.LANGUAGES:
+        key_h.update(lang.encode())
+        key_h.update(_read_data("lang_samples", lang).encode("utf-8"))
     out = f"/tmp/macocu-langid-expected-{key_h.hexdigest()[:16]}.parquet"
     if not os.path.exists(out):
         _, trigrams = _reference_modules()

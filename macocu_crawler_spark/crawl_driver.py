@@ -281,11 +281,24 @@ class CrawlDriver:
     def _init_bloom(self) -> None:
         """Incremental Bloom over url_seen (derived state — rebuilt from
         the table on init/resume/overflow, never checkpointed)."""
+        old = getattr(self, "_bloom", None)
         self._bloom = None
         if getattr(self.params, "use_bloom_prefilter", False):
             from .operators.urlseen import BloomState
 
             self._bloom = BloomState.from_url_seen(self.url_seen)
+            self._adopt_bloom_broadcast(old)
+        elif old is not None and old._bc is not None:
+            old._bc.unpersist(blocking=False)
+
+    def _adopt_bloom_broadcast(self, old) -> None:
+        """Hand a replaced BloomState's live executor broadcast to the new
+        state so broadcast_map's replace-and-unpersist path retires it at
+        the next call — dropping the old state on the floor would leave the
+        stale full-bloom copy pinned until GC (ADVICE r4)."""
+        if old is not None and old is not self._bloom and old._bc is not None:
+            self._bloom._bc = old._bc
+            self._bloom._dirty = True
 
     def _compact_seen_parts(self) -> None:
         """Scale path (use_bucketed_seen): rewrite the full seen set as a
@@ -672,7 +685,9 @@ class CrawlDriver:
             if self._bloom.over_capacity():
                 from .operators.urlseen import BloomState
 
+                old = self._bloom
                 self._bloom = BloomState.from_url_seen(self.url_seen)
+                self._adopt_bloom_broadcast(old)
         docs.unpersist()
         selected.unpersist()
         # compact the append-only union chains periodically: beyond ~10 legs

@@ -57,12 +57,22 @@ def _task_part_id() -> tuple[str, str]:
 def _atomic_write(out_dir: str, suffix: str, data: bytes) -> str:
     """Write data to its attempt-unique temp path, then atomically rename
     to the attempt-stable final path.  Returns the final path."""
+    import glob
+
     final, attempt = _task_part_id()
     tmp_path = os.path.join(out_dir, f".part-{attempt}{suffix}")
     path = os.path.join(out_dir, f"part-{final}{suffix}")
     with open(tmp_path, "wb") as f:
         f.write(data)
     os.rename(tmp_path, path)
+    # a task attempt that died between write and rename leaves its
+    # hidden temp behind; the surviving attempt sweeps its siblings so
+    # the litter stays bounded over long crawls (ADVICE r4)
+    for stale in glob.glob(os.path.join(out_dir, f".part-{final}.attempt-*{suffix}")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     return path
 
 
