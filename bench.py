@@ -531,6 +531,72 @@ def run_seen_join_bench(n_seen: int = 10_000_000, n_cand: int = 1_000_000) -> di
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_seen_compaction_bench(
+    n_base: int = 10_000_000, deltas: tuple[int, ...] = (100_000, 1_000_000)
+) -> dict:
+    """Seen-set compaction cost split (VERDICT r4 task 1): MAJOR (full
+    bucketed rewrite of the base — what every compaction cost in round 4)
+    vs MINOR (append_bucketed_seen: delta legs merged into their buckets in
+    place).  The claim under test: minor wall ∝ delta size, independent of
+    the 10^7-row base — at 10^10 rows that is the difference between
+    rewriting the biggest table in the system every compact_every rounds
+    and an O(delta) append."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from macocu_crawler_spark.operators.urlseen import (
+        append_bucketed_seen,
+        write_bucketed_seen,
+    )
+
+    spark = make_spark(CPUS)
+    tmp = tempfile.mkdtemp(prefix="macocu-compactbench-")
+    try:
+        def keyed(start, n):
+            return spark.range(start, start + n).select(
+                F.when(F.col("id") % 7 == 0, "https").otherwise("http")
+                .alias("scheme"),
+                F.concat(F.lit("h"), F.col("id") % 100_000).alias("host"),
+                F.concat(F.lit("/p"), F.col("id")).alias("path_sanitised"),
+            )
+
+        t0 = time.time()
+        write_bucketed_seen(
+            keyed(0, n_base), f"{tmp}/seen_bkt", "url_seen_bkt_compact_bench",
+            n_buckets=CPUS,
+        )
+        major_sec = time.time() - t0
+        result = {
+            "base_keys": n_base,
+            "major_rewrite_sec": round(major_sec, 2),
+        }
+        start = n_base
+        for n_delta in deltas:
+            delta = keyed(start, n_delta).cache()
+            delta.count()  # materialise off-clock
+            t0 = time.time()
+            merged = append_bucketed_seen(
+                delta, "url_seen_bkt_compact_bench", n_buckets=CPUS
+            )
+            minor_sec = time.time() - t0
+            delta.unpersist()
+            start += n_delta
+            result[f"minor_append_{n_delta}_sec"] = round(minor_sec, 2)
+            log(f"seen-compaction: minor append of {n_delta} onto {n_base} "
+                f"base in {minor_sec:.2f}s (major rewrite: {major_sec:.1f}s)")
+        result["rows_after"] = merged.count()
+        result["minor_vs_major_speedup"] = round(
+            major_sec / max(result[f"minor_append_{deltas[0]}_sec"], 1e-9), 1
+        )
+        return result
+    finally:
+        spark.sql("DROP TABLE IF EXISTS url_seen_bkt_compact_bench")
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_controls() -> dict:
     """Hardware-ceiling controls: the same 8→32-core comparison for (a) a
     pure-ALU Python workload and (b) a pure-JVM hash aggregation.  These
@@ -616,6 +682,7 @@ def main() -> None:
     )
     bloom = run_bloom_bench() if full else None
     seen_join = run_seen_join_bench() if full else None
+    seen_compaction = run_seen_compaction_bench() if full else None
     skew = run_skew_bench()
     ip_skew = run_ip_skew_bench()
     queries = run_queries()
@@ -656,6 +723,8 @@ def main() -> None:
         detail["bloom_at_1e7"] = bloom
     if seen_join is not None:
         detail["seen_join_at_1e7"] = seen_join
+    if seen_compaction is not None:
+        detail["seen_compaction_at_1e7"] = seen_compaction
     os.makedirs(os.path.dirname(DETAIL_ARTIFACT), exist_ok=True)
     with open(DETAIL_ARTIFACT, "w") as f:
         json.dump(detail, f, indent=1)

@@ -200,6 +200,16 @@ class CrawlDriver:
         self.url_seen: DataFrame | None = None
         # scale path: [bucketed base] + per-round delta legs (or None)
         self._seen_parts: list[DataFrame] | None = None
+        # seen compaction cadence: every compact_every rounds the delta
+        # legs are MERGED INTO the bucketed base in place (minor — cost ∝
+        # delta); every seen_major_every-th compaction rewrites the table
+        # to one sorted file per bucket (major).  Iceberg's minor/major
+        # rewrite split; see urlseen.append_bucketed_seen.
+        self.compact_every = 8
+        self.seen_major_every = 4
+        self._minor_compactions = 0
+        self._seen_table: str | None = None
+        self._seen_n_buckets: int | None = None
         self.seen_txt: DataFrame | None = None
         self.seen_raw: DataFrame | None = None
         self.robot_redirects: DataFrame | None = None
@@ -301,15 +311,17 @@ class CrawlDriver:
             self._bloom._dirty = True
 
     def _compact_seen_parts(self) -> None:
-        """Scale path (use_bucketed_seen): rewrite the full seen set as a
-        bucketed table on the seen key — the admission anti-join then needs
-        an Exchange only on the (small) candidates side; the base scan is
-        read bucket-for-bucket in place (urlseen.write_bucketed_seen).
-        Between compactions, each round's new-seen leg is appended to the
-        parts list and AQE broadcasts it in the chained anti-join.  (The
-        local rewrite-per-compaction is a sandbox stand-in — an Iceberg
-        bucket-transform table takes appends in place; see
-        urlseen.write_bucketed_seen.)"""
+        """Scale path (use_bucketed_seen), MAJOR compaction: rewrite the
+        full seen set as a bucketed table on the seen key — the admission
+        anti-join then needs an Exchange only on the (small) candidates
+        side; the base scan is read bucket-for-bucket in place
+        (urlseen.write_bucketed_seen), one sorted file per bucket.  Runs at
+        init/resume (the base must exist) and every seen_major_every-th
+        compaction; in between, _merge_seen_deltas appends only the delta
+        legs into their buckets (cost ∝ delta size, the Iceberg
+        bucket-transform append).  Between compactions, each round's
+        new-seen leg rides the parts list and AQE broadcasts it in the
+        chained anti-join."""
         self._seen_parts = None
         if not getattr(self.params, "use_bucketed_seen", False):
             return
@@ -322,6 +334,25 @@ class CrawlDriver:
         location = os.path.join(root, "url_seen_bucketed")
         n_buckets = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         base = write_bucketed_seen(self.url_seen, location, table, n_buckets)
+        self._seen_parts = [base]
+        self._seen_table = table
+        self._seen_n_buckets = n_buckets
+        self._minor_compactions = 0
+
+    def _merge_seen_deltas(self) -> None:
+        """MINOR compaction: append the accumulated delta legs into the
+        bucketed base in place — the 10^10-row base files are untouched,
+        the wall cost is proportional to the delta (BENCH_r05
+        seen_compaction row).  Equivalent row set to the chained parts
+        (tested); the refreshed table becomes the single part again."""
+        if self._seen_parts is None or len(self._seen_parts) <= 1:
+            return
+        from functools import reduce
+
+        from .operators.urlseen import append_bucketed_seen
+
+        delta = reduce(DataFrame.unionByName, self._seen_parts[1:])
+        base = append_bucketed_seen(delta, self._seen_table, self._seen_n_buckets)
         self._seen_parts = [base]
 
     # -- one round ------------------------------------------------------------------
@@ -693,13 +724,18 @@ class CrawlDriver:
         # compact the append-only union chains periodically: beyond ~10 legs
         # the Catalyst analysis of the admission joins dominates the round
         # (observed: planning stall around round 40 without this)
-        if r % 8 == 0:
+        if r % self.compact_every == 0:
             self.url_seen, self.seen_txt, self.seen_raw = self._concurrently(
                 lambda: self._pin_durable("url_seen", self.url_seen),
                 lambda: self._pin_durable("seen_txt", self.seen_txt),
                 lambda: self._pin_durable("seen_raw", self.seen_raw),
             )
-            self._compact_seen_parts()
+            if self._seen_parts is not None:
+                self._minor_compactions += 1
+                if self._minor_compactions % self.seen_major_every == 0:
+                    self._compact_seen_parts()  # major: full sorted rewrite
+                else:
+                    self._merge_seen_deltas()   # minor: delta-only append
         self.metrics.append({"round": r, "selected": n_selected, "processed": n_processed})
         if self.checkpoint_every and r % self.checkpoint_every == 0:
             self.commit()

@@ -219,6 +219,59 @@ class TestBucketedSeenPlan:
         assert ps.count("Exchange") == 1  # candidates side only
         assert out.count() == 500  # all candidates new
 
+    def test_append_keeps_bucketed_scan_and_merges_delta(self, spark, tmp_path):
+        """Minor compaction (urlseen.append_bucketed_seen): appending a
+        delta leaves multiple files per bucket, but the scan must STAY
+        hash-partitioned — anti-join still exchanges only the candidates
+        side — and the merged table must equal base ∪ delta exactly."""
+        from macocu_crawler_spark.operators.urlseen import (
+            anti_join_seen_parts,
+            append_bucketed_seen,
+            write_bucketed_seen,
+        )
+
+        def keyed(start, n, pref):
+            return spark.range(start, start + n).select(
+                F.when(F.col("id") % 7 == 0, "https").otherwise("http")
+                .alias("scheme"),
+                F.concat(F.lit("h"), F.col("id") % 97).alias("host"),
+                F.concat(F.lit(pref), F.col("id")).alias("path_sanitised"),
+            )
+
+        write_bucketed_seen(
+            keyed(0, 20_000, "/p"), str(tmp_path / "seen_bkt2"),
+            "url_seen_bkt_append_test", n_buckets=32,
+        )
+        original = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            merged = append_bucketed_seen(
+                keyed(20_000, 2_000, "/p"), "url_seen_bkt_append_test",
+                n_buckets=32,
+            )
+            assert merged.count() == 22_000  # base ∪ delta, nothing lost
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # candidates (ONE relation — a union would let Catalyst push
+            # the join below it and double the candidate-side Exchange):
+            # 300 keys inside the APPENDED delta range (must be filtered by
+            # the merged table) + 200 genuinely new
+            cand = spark.range(21_000, 21_500).select(
+                F.when(F.col("id") % 7 == 0, "https").otherwise("http")
+                .alias("scheme"),
+                F.concat(F.lit("h"), F.col("id") % 97).alias("host"),
+                F.concat(
+                    F.when(F.col("id") < 21_300, "/p").otherwise("/q"),
+                    F.col("id"),
+                ).alias("path_sanitised"),
+            )
+            out = anti_join_seen_parts(cand, [merged])
+            ps = plan_string(out)
+            assert "Bucketed: true" in ps, ps
+            assert ps.count("Exchange") == 1, ps  # candidates side only
+            assert out.count() == 200
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", original)
+            spark.sql("DROP TABLE IF EXISTS url_seen_bkt_append_test")
+
 
 class TestNoUnkeyedWindowsAnywhere:
     """Repo-wide window policy (VERDICT r3 #6): NO driver entry may plan an
