@@ -3,9 +3,12 @@
 ``queries()`` maps the engine's operator inventory (SURVEY.md §2) onto the
 driver's tables; every SQL-expressible operator has a DuckDB oracle in
 ``oracle_sql()`` with IDENTICAL column names and float rounding.  Crawl-
-specific operators (the round loop, the extract pipeline, trigram langid,
-multimodal stubs) are rows-only entries — their correctness gates are the
-simulator-equivalence and byte-identical tests in tests/.
+specific operators carry DIFFERENTIAL oracles: expected tables generated at
+fixture time by the reference's own code (robots_filter, langid_trigram) or
+by the pure-Python simulator/pipeline kernel (crawl_rounds, crawl_extract),
+which DuckDB then serves — so the driver value-hashes the distributed path
+against an independent implementation.  Only ANN recall gates, streaming
+ingest and multimodal remain rows-only (gated in tests/).
 
 Float policy: every computed double is round(x, 4) (money: round(x, 2)) on
 BOTH sides so cross-engine summation-order differences cannot flip the
@@ -403,9 +406,14 @@ def _fixture_dir() -> str:
         from macocu_crawler_spark.fixtures import write_fixtures
 
         d = tempfile.mkdtemp(prefix="macocu-entry-fixtures-")
-        write_fixtures(d)
+        _FIXTURE_CACHE["web"] = write_fixtures(d)
         _FIXTURE_CACHE["dir"] = d
     return _FIXTURE_CACHE["dir"]
+
+
+def _fixture_web():
+    _fixture_dir()
+    return _FIXTURE_CACHE["web"]
 
 
 def q_streaming_ingest(spark, sf):
@@ -623,6 +631,99 @@ def _langid_expected_path() -> str:
                 "text_md5": md5s,
                 "best_lang": pa.array(langs, type=pa.string()),
                 "lang_diff": pa.array(diffs, type=pa.float64()),
+            }),
+            out,
+        )
+    return out
+
+
+def _crawl_rounds_expected_path() -> str:
+    """Expected 5-round fetch log, produced by the pure-Python simulator
+    (the reference-semantics model the driver is equivalence-tested
+    against) — promoting crawl ordering, the north rule, from a
+    pytest-only gate to a driver-visible value-hash check (VERDICT r4
+    task 4).  Cache keyed on fixture content + params."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from macocu_crawler_spark.simulator import CrawlParams, CrawlSimulator
+
+    fd = _fixture_dir()
+    key_h = hashlib.md5()
+    for name in ("pages.parquet", "robots.parquet", "dns.parquet",
+                 "redirects.parquet", "seeds.txt"):
+        with open(os.path.join(fd, name), "rb") as f:
+            key_h.update(f.read())
+    key_h.update(b"max_rounds=5")
+    out = os.path.join(fd, f"fetchlog_expected-{key_h.hexdigest()[:16]}.parquet")
+    if not os.path.exists(out):
+        sim = CrawlSimulator(_fixture_web(), CrawlParams(max_rounds=5)).run()
+        # driver fetch_seq is 1-based (simulator seq is 0-based)
+        rounds = [r for r, _s, _u in sim.fetch_log]
+        seqs = [s + 1 for _r, s, _u in sim.fetch_log]
+        urls = [u for _r, _s, u in sim.fetch_log]
+        pq.write_table(
+            pa.table({
+                "round": pa.array(rounds, type=pa.int64()),
+                "fetch_seq": pa.array(seqs, type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+            }),
+            out,
+        )
+    return out
+
+
+def _crawl_extract_expected_path() -> str:
+    """Expected per-page extract projection (url, lang, txt_len,
+    token_count, txt_hash) over the fixture pages, computed by calling the
+    pure-Python pipeline kernel (textkit.process_page) row by row — the
+    driver's value hash then checks the whole distributed plumbing
+    (mapInPandas batching, Arrow binary round-trip, charset ladder) against
+    the plain-Python result (VERDICT r4 task 3).  The projected fields do
+    not depend on wpage_id/connect_time/ip (those feed only the prevert
+    header), so dummies are passed.  Cache keyed on pages content +
+    conversion flag."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from macocu_crawler_spark import config
+    from macocu_crawler_spark.functions import textkit
+
+    fd = _fixture_dir()
+    key_h = hashlib.md5()
+    with open(os.path.join(fd, "pages.parquet"), "rb") as f:
+        key_h.update(f.read())
+    key_h.update(repr(config.CONVERSION_ENABLED).encode())
+    out = os.path.join(fd, f"extract_expected-{key_h.hexdigest()[:16]}.parquet")
+    if not os.path.exists(out):
+        tbl = pq.read_table(
+            os.path.join(fd, "pages.parquet"),
+            columns=["url", "html", "http_header"],
+        ).to_pydict()
+        urls, langs, txt_lens, token_counts, txt_hashes = [], [], [], [], []
+        for url, html, header in zip(tbl["url"], tbl["html"], tbl["http_header"]):
+            row = textkit.process_page(
+                0, url, bytes(html) if html is not None else b"",
+                bytes(header) if header is not None else None,
+                "20230815100000", None,
+                conversion_enabled=config.CONVERSION_ENABLED,
+            )
+            urls.append(url)
+            langs.append(row["lang"])
+            txt_lens.append(row["txt_len"])
+            token_counts.append(row["token_count"])
+            txt_hashes.append(row["txt_hash"])
+        pq.write_table(
+            pa.table({
+                "url": pa.array(urls, type=pa.string()),
+                "lang": pa.array(langs, type=pa.string()),
+                "txt_len": pa.array(txt_lens, type=pa.int64()),
+                "token_count": pa.array(token_counts, type=pa.int64()),
+                "txt_hash": pa.array(txt_hashes, type=pa.int64()),
             }),
             out,
         )
@@ -956,5 +1057,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN read_parquet('{_langid_expected_path()}') e
               ON md5(d.text) = e.text_md5
+        """,
+        # simulator-differential oracles (VERDICT r4 tasks 3+4): expected
+        # tables generated by the pure-Python round model / pipeline kernel
+        # at fixture time (_crawl_rounds_expected_path /
+        # _crawl_extract_expected_path)
+        "crawl_rounds": f"""
+            SELECT round, fetch_seq, url
+            FROM read_parquet('{_crawl_rounds_expected_path()}')
+        """,
+        "crawl_extract": f"""
+            SELECT url, lang, txt_len, token_count, txt_hash
+            FROM read_parquet('{_crawl_extract_expected_path()}')
         """,
     }

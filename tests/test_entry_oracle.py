@@ -55,8 +55,7 @@ def test_every_query_runs_and_oracles_cover(entrymod):
     # every oracle-less query is documented as rows-only (non-SQL ops)
     rows_only = set(qs) - set(os_)
     assert rows_only <= {
-        "ann_lsh_topk", "ann_ivf_topk", "crawl_rounds",
-        "crawl_extract", "multimodal_features",
+        "ann_lsh_topk", "ann_ivf_topk", "multimodal_features",
         "streaming_ingest",
     }
 
@@ -78,6 +77,7 @@ def test_every_query_runs_and_oracles_cover(entrymod):
         "text_quality_scores",
         "doc_fingerprints",
         "robots_filter", "langid_trigram",
+        "crawl_rounds", "crawl_extract",
     ],
 )
 def test_query_matches_oracle(spark, entrymod, duck, name):
