@@ -142,11 +142,16 @@ def run_scaling(pages_dir: str) -> dict:
 
 
 def run_crawl_rounds(pages_dir: str) -> dict:
-    """End-to-end round loop on the wide bench web.
+    """End-to-end round loop on the wide bench web, measured in BOTH
+    admission configurations (VERDICT r4 task 5): the plain anti-join
+    path AND the 100×-scale configuration (Bloom pre-filter with
+    distributed increments + bucketed seen base) — the scale path must
+    stay within ~10% of plain at fixture scale, where its avoided
+    seen-side Exchange cannot pay off yet.
 
-    Best-of-2 full runs (the first also warms the JVM + Python-worker
-    pool, which is one-time session startup, not round-loop cost — the
-    same warm-up policy run_scaling applies)."""
+    Best-of-2 full runs per configuration (the first also warms the JVM +
+    Python-worker pool, which is one-time session startup, not round-loop
+    cost — the same warm-up policy run_scaling applies)."""
     import tempfile
 
     from macocu_crawler_spark.crawl_driver import CrawlDriver
@@ -154,27 +159,40 @@ def run_crawl_rounds(pages_dir: str) -> dict:
 
     spark = make_spark(CPUS)
     try:
-        best = None
-        for attempt in (1, 2):
-            drv = CrawlDriver(
-                spark, pages_dir, tempfile.mkdtemp(prefix="macocu-bench-"),
-                CrawlParams(max_rounds=CRAWL_ROUNDS), checkpoint_every=0,
-            )
-            t0 = time.time()
-            drv.run()
-            wall = time.time() - t0
-            fetched = sum(m["selected"] for m in drv.metrics)
-            processed = sum(m["processed"] for m in drv.metrics)
-            log(f"crawl_rounds attempt {attempt}: {fetched} urls in {wall:.1f}s")
-            if best is None or wall < best["sec"]:
-                best = {
-                    "sec": round(wall, 2),
-                    "rounds": drv.round_no,
-                    "urls_fetched": fetched,
-                    "urls_processed": processed,
-                    "urls_per_sec": round(fetched / wall, 1),
-                }
-        return best
+        results = {}
+        for label, mk_params in (
+            ("plain", lambda: CrawlParams(max_rounds=CRAWL_ROUNDS)),
+            ("scale_path", lambda: CrawlParams(
+                max_rounds=CRAWL_ROUNDS, use_bloom_prefilter=True,
+                bloom_increment_mode="distributed", use_bucketed_seen=True,
+            )),
+        ):
+            best = None
+            for attempt in (1, 2):
+                drv = CrawlDriver(
+                    spark, pages_dir, tempfile.mkdtemp(prefix="macocu-bench-"),
+                    mk_params(), checkpoint_every=0,
+                )
+                t0 = time.time()
+                drv.run()
+                wall = time.time() - t0
+                fetched = sum(m["selected"] for m in drv.metrics)
+                processed = sum(m["processed"] for m in drv.metrics)
+                log(f"crawl_rounds[{label}] attempt {attempt}: "
+                    f"{fetched} urls in {wall:.1f}s")
+                if best is None or wall < best["sec"]:
+                    best = {
+                        "sec": round(wall, 2),
+                        "rounds": drv.round_no,
+                        "urls_fetched": fetched,
+                        "urls_processed": processed,
+                        "urls_per_sec": round(fetched / wall, 1),
+                    }
+            results[label] = best
+        results["scale_path_overhead"] = round(
+            results["scale_path"]["sec"] / results["plain"]["sec"], 3
+        )
+        return results
     finally:
         spark.stop()
 
@@ -597,6 +615,304 @@ def run_seen_compaction_bench(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_streaming_ingest_bench(pages_dir: str, n_files: int = 8) -> dict:
+    """Streaming ingest drain throughput (VERDICT r4 task 6): the bench
+    web's pages landed as n_files parquet files, drained availableNow with
+    one file per micro-batch through the SAME extract pipeline as the
+    round loop, with and without the dedup_horizon watermark.  Reports
+    urls/s, per-micro-batch latency, and state-store row growth across
+    batches (recentProgress.stateOperators) — a state-store bottleneck
+    would show up here as super-linear batch latency or unbounded state."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from macocu_crawler_spark.streaming.ingest import run_ingest
+
+    spark = make_spark(CPUS)
+    base = tempfile.mkdtemp(prefix="macocu-streambench-")
+    try:
+        landing = f"{base}/landing"
+        pages = (
+            spark.read.parquet(f"{pages_dir}/pages.parquet")
+            .withColumn("wpage_id", F.monotonically_increasing_id())
+            .select("wpage_id", "url", "warc_ts", "html", "http_header", "ip")
+        )
+        pages.repartition(n_files).write.parquet(landing)
+        n_pages = spark.read.parquet(landing).count()
+        result = {"pages": n_pages, "micro_batches": n_files}
+        for label, horizon in (("no_horizon", None), ("horizon_1h", "1 hour")):
+            out = f"{base}/docs-{label}"
+            t0 = time.time()
+            q = run_ingest(spark, landing, out, f"{base}/ckpt-{label}",
+                           dedup_horizon=horizon)
+            wall = time.time() - t0
+            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            batch_secs = [
+                p["durationMs"]["triggerExecution"] / 1000.0 for p in progress
+            ]
+            state_rows = [
+                sum(op["numRowsTotal"] for op in p["stateOperators"])
+                for p in progress if p.get("stateOperators")
+            ]
+            result[label] = {
+                "sec": round(wall, 2),
+                "urls_per_sec": round(n_pages / wall, 1),
+                "batches_run": len(progress),
+                "batch_sec_median": round(sorted(batch_secs)[len(batch_secs) // 2], 2)
+                if batch_secs else None,
+                "batch_sec_max": round(max(batch_secs), 2) if batch_secs else None,
+                "state_rows_per_batch": state_rows,
+                "docs_out": spark.read.parquet(out).count(),
+            }
+            log(f"streaming[{label}]: {n_pages} pages in {wall:.1f}s "
+                f"({result[label]['urls_per_sec']} urls/s, "
+                f"{len(progress)} batches)")
+        return result
+    finally:
+        spark.stop()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def wide_web_dir(n_hosts: int = 40_000, pages_per_host: int = 25) -> str:
+    """Distributed generation of the WIDE bench web (VERDICT r4 task 7):
+    40k hosts ≈ per-round selected width at the MAX_URL_SELECT=30k cap
+    (reference config.py:98), where the fixed ~17-job round cost
+    amortises.  Driver-side Python generation at 10^6 pages would take
+    minutes; the page rendering runs as a mapInPandas over the host range
+    instead (same render_page kernel, deterministic per host), writing the
+    pages parquet directly from executors.  Cached across runs."""
+    cache = f"/tmp/macocu-widebenchweb-{n_hosts}x{pages_per_host}"
+    if os.path.exists(os.path.join(cache, "seeds.txt")):
+        return cache
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from macocu_crawler_spark.fixtures import (
+        BASE_TS,
+        HDR,
+        NO_SENTENCES,
+        _paragraphs,
+        render_page,
+    )
+
+    log(f"building wide bench web {n_hosts}x{pages_per_host} -> {cache}")
+    os.makedirs(cache, exist_ok=True)
+    spark = make_spark(CPUS)
+    try:
+        out_schema = T.StructType([
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("ip", T.StringType()),
+            T.StructField("http_header", T.BinaryType()),
+        ])
+
+        def gen_pages(batches):
+            import datetime as dt
+            for batch in batches:
+                rows = []
+                for hi in batch["id"]:
+                    hi = int(hi)
+                    host = f"host{hi:05d}.no"
+                    rng = random.Random(1000 + hi)
+                    for p in range(1, pages_per_host + 1):
+                        links = []
+                        if p < pages_per_host:
+                            links.append((f"side{p + 1}.html",
+                                          "neste side i serien"))
+                        if p == 1 and hi + 1 < n_hosts:
+                            links.append(
+                                (f"http://host{hi + 1:05d}.no/side1.html",
+                                 "naboside"))
+                        html = render_page(
+                            rng, f"{host} side {p}",
+                            _paragraphs(rng, NO_SENTENCES, 3), links,
+                            nav_links=["/", "/arkiv.html"],
+                        )
+                        idx = hi * pages_per_host + (p - 1)
+                        rows.append((
+                            f"http://{host}/side{p}.html",
+                            BASE_TS + dt.timedelta(seconds=idx % 86_400),
+                            html, "", "", "10.9.9.9", HDR,
+                        ))
+                yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+        (
+            spark.range(n_hosts)
+            .repartition(CPUS * 2)
+            .mapInPandas(gen_pages, schema=out_schema)
+            .write.mode("overwrite")
+            .parquet(os.path.join(cache, "pages.parquet"))
+        )
+    finally:
+        spark.stop()
+    hosts = [f"host{i:05d}.no" for i in range(n_hosts)]
+    pq.write_table(pa.table({
+        "scheme": ["http"] * n_hosts, "host": hosts,
+        "state": ["EMPTY"] * n_hosts, "body": [""] * n_hosts,
+    }), os.path.join(cache, "robots.parquet"))
+    pq.write_table(pa.table({
+        "scheme": ["http"] * n_hosts, "host": hosts,
+        "ip": [f"10.{2 + i // 62500}.{(i // 250) % 250}.{i % 250}"
+               for i in range(n_hosts)],
+    }), os.path.join(cache, "dns.parquet"))
+    pq.write_table(pa.table({
+        "url": pa.array([], type=pa.string()),
+        "location": pa.array([], type=pa.string()),
+    }), os.path.join(cache, "redirects.parquet"))
+    with open(os.path.join(cache, "seeds.txt"), "w") as f:
+        f.write("\n".join(f"http://{h}/side1.html" for h in hosts) + "\n")
+    return cache
+
+
+def run_wide_crawl(n_hosts: int = 40_000, pages_per_host: int = 25,
+                   rounds: int = 5) -> dict:
+    """Round loop at MAX_URL_SELECT width (VERDICT r4 task 7): per-round
+    selected ≈ the 30k global cap, so the fixed per-round job cost
+    amortises over 7.5× more fetches than the 4k-host web — this is the
+    wide-crawl regime the design targets.  One measured run, per-round
+    walls reported (the first round includes Python-worker warm-up; the
+    first two rounds are robots + domain-root fetches by the round model,
+    so page extraction is wide from round 3 on)."""
+    import tempfile
+
+    from macocu_crawler_spark.crawl_driver import CrawlDriver
+    from macocu_crawler_spark.simulator import CrawlParams
+
+    pages_dir = wide_web_dir(n_hosts, pages_per_host)
+    spark = make_spark(CPUS)
+    try:
+        drv = CrawlDriver(
+            spark, pages_dir, tempfile.mkdtemp(prefix="macocu-widebench-"),
+            CrawlParams(max_rounds=rounds), checkpoint_every=0,
+        )
+        t0 = time.time()
+        drv.init_from_seeds()
+        init_sec = time.time() - t0
+        round_secs = []
+        for _ in range(rounds):
+            t0 = time.time()
+            n = drv.run_round()
+            round_secs.append(round(time.time() - t0, 2))
+            if n == 0:
+                break
+        fetched = sum(m["selected"] for m in drv.metrics)
+        processed = sum(m["processed"] for m in drv.metrics)
+        wall = sum(round_secs)
+        log(f"wide crawl {n_hosts} hosts: {fetched} urls in {wall:.1f}s "
+            f"(rounds: {round_secs})")
+        return {
+            "hosts": n_hosts,
+            "pages_per_host": pages_per_host,
+            "init_sec": round(init_sec, 2),
+            "round_secs": round_secs,
+            "sec": round(wall, 2),
+            "urls_fetched": fetched,
+            "urls_processed": processed,
+            "urls_per_sec": round(fetched / wall, 1),
+        }
+    finally:
+        spark.stop()
+
+
+_PAIRED_RUNNER = """
+import sys, json
+import bench
+spark = bench.make_spark(bench.CPUS)
+try:
+    bench.reprocess_throughput(spark, sys.argv[1])  # warm-up, off-clock
+    walls, n = [], 0
+    for _ in range(2):
+        w, n = bench.reprocess_throughput(spark, sys.argv[1])
+        walls.append(w)
+finally:
+    spark.stop()
+print("PAIRED_RESULT " + json.dumps({"walls": walls, "pages": n}))
+"""
+
+
+def run_paired_ab(pages_dir: str) -> dict | None:
+    """Paired A/B headline bench (VERDICT r4 task 2): cross-session box
+    drift (±20%) swamps round-over-round deltas, so the PREVIOUS round's
+    committed code is checked out into a worktree and the headline job is
+    run interleaved prev/cur/prev/cur in THIS session — the per-pair delta
+    is a paired sample, immune to host drift between sessions.  Each leg
+    is a fresh subprocess (own JVM, same warm-up policy), 2 measured walls
+    per leg → 4 paired samples."""
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def git(*args):
+        return subprocess.run(
+            ["git", *args], cwd=repo, capture_output=True, text=True
+        )
+
+    prev = git("log", "--grep", "^round [0-9]*:", "--format=%H", "-n", "1")
+    prev_rev = prev.stdout.strip()
+    if not prev_rev:
+        log("paired A/B: no previous-round commit found; skipping")
+        return None
+    worktree = f"/tmp/macocu-prev-{prev_rev[:10]}"
+    if not os.path.exists(os.path.join(worktree, "bench.py")):
+        shutil.rmtree(worktree, ignore_errors=True)
+        git("worktree", "prune")
+        r = git("worktree", "add", "--detach", worktree, prev_rev)
+        if r.returncode != 0:
+            log(f"paired A/B: worktree add failed: {r.stderr.strip()}")
+            return None
+
+    def run_leg(version_dir: str) -> dict | None:
+        env = dict(os.environ, PYTHONPATH=version_dir)
+        r = subprocess.run(
+            [sys.executable, "-c", _PAIRED_RUNNER, pages_dir],
+            cwd=version_dir, env=env, capture_output=True, text=True,
+            timeout=900,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("PAIRED_RESULT "):
+                return json.loads(line[len("PAIRED_RESULT "):])
+        log(f"paired A/B leg failed in {version_dir}: "
+            f"{(r.stderr or r.stdout)[-500:]}")
+        return None
+
+    pairs = []
+    legs = {"prev": [], "cur": []}
+    for session in (1, 2):  # interleaved: prev, cur, prev, cur
+        for label, vdir in (("prev", worktree), ("cur", repo)):
+            res = run_leg(vdir)
+            if res is None:
+                return None
+            legs[label].extend(res["walls"])
+            log(f"paired A/B session {session} {label} "
+                f"({prev_rev[:8] if label == 'prev' else 'HEAD'}): "
+                f"walls {[round(w, 2) for w in res['walls']]}")
+    n_pages = res["pages"]
+    for a, b in zip(legs["prev"], legs["cur"]):
+        pairs.append(round((a / b - 1.0) * 100, 1))  # +% = cur faster
+    pairs_sorted = sorted(pairs)
+    mid = len(pairs_sorted) // 2
+    return {
+        "prev_rev": prev_rev[:12],
+        "pages": n_pages,
+        "prev_walls_sec": [round(w, 2) for w in legs["prev"]],
+        "cur_walls_sec": [round(w, 2) for w in legs["cur"]],
+        "pair_delta_pct": pairs,
+        "paired_delta_pct": pairs_sorted[mid],
+        "paired_delta_spread_pct": [pairs_sorted[0], pairs_sorted[-1]],
+    }
+
+
 def run_controls() -> dict:
     """Hardware-ceiling controls: the same 8→32-core comparison for (a) a
     pure-ALU Python workload and (b) a pure-JVM hash aggregation.  These
@@ -650,8 +966,9 @@ def run_queries() -> dict:
         qs = entrymod.queries()
         oracle_names = set(entrymod.oracle_sql())
         for name, fn in qs.items():
-            if name not in oracle_names:
-                continue  # crawl/rows-only ops timed by run_crawl_rounds
+            if name not in oracle_names or name == "crawl_rounds":
+                continue  # rows-only ops + the full round loop (timed by
+                # run_crawl_rounds; its oracle is for correctness, not speed)
             best = None
             for _ in range(2):  # best-of-2: exclude one-time planning/warm-up
                 t0 = time.time()
@@ -676,7 +993,10 @@ def main() -> None:
     # the driver's per-round scale only; the sf0.01 dev loop stays fast
     full = SF == "0.1"
     scaling = run_scaling(pages_dir)
+    paired = run_paired_ab(pages_dir) if full else None
     crawl = run_crawl_rounds(pages_dir)
+    wide_crawl = run_wide_crawl() if full else None
+    streaming = run_streaming_ingest_bench(pages_dir)
     scheduler = run_scheduler_microbench(
         sizes=(2_000_000, 8_000_000, 32_000_000) if full else (2_000_000,)
     )
@@ -704,6 +1024,10 @@ def main() -> None:
         f"urls_per_sec_local{CPUS}": scaling[CPUS]["urls_per_sec"],
         "scaling_efficiency_8_to_32": scaling["scaling_efficiency"],
     }
+    if paired is not None:
+        # vs the previous round's committed code, interleaved in-session:
+        # positive = current code faster; the paired design cancels box drift
+        compact["paired_delta_pct"] = paired["paired_delta_pct"]
     detail = dict(compact)
     detail.update({
         "bench_web": {"hosts": N_HOSTS, "pages_per_host": PAGES_PER_HOST},
@@ -714,6 +1038,7 @@ def main() -> None:
         },
         "hardware_ceiling_controls": controls,
         "crawl_rounds": crawl,
+        "streaming_ingest": streaming,
         "scheduler_select": scheduler[0],
         "scheduler_frontier_scaling": scheduler,
         "hot_host_skew": skew,
@@ -725,6 +1050,10 @@ def main() -> None:
         detail["seen_join_at_1e7"] = seen_join
     if seen_compaction is not None:
         detail["seen_compaction_at_1e7"] = seen_compaction
+    if wide_crawl is not None:
+        detail["wide_crawl_at_select_cap"] = wide_crawl
+    if paired is not None:
+        detail["paired_ab_vs_prev_round"] = paired
     os.makedirs(os.path.dirname(DETAIL_ARTIFACT), exist_ok=True)
     with open(DETAIL_ARTIFACT, "w") as f:
         json.dump(detail, f, indent=1)

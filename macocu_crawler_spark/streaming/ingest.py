@@ -93,11 +93,16 @@ def run_ingest(
     checkpoint_dir: str,
     available_now: bool = True,
     dedup_horizon: str | None = None,
-) -> None:
+    max_files_per_trigger: int = 1,
+):
     """Drain the landing directory through the pipeline into a parquet
-    documents sink (exactly-once via the checkpoint)."""
+    documents sink (exactly-once via the checkpoint).  Returns the
+    (terminated, in availableNow mode) StreamingQuery so callers can read
+    ``recentProgress`` — per-micro-batch durations and state-store row
+    counts (bench.py's streaming row)."""
     docs = extract_stream(
-        read_pages_stream(spark, landing_dir), dedup_horizon=dedup_horizon
+        read_pages_stream(spark, landing_dir, max_files_per_trigger),
+        dedup_horizon=dedup_horizon,
     )
     writer = (
         docs.writeStream.format("parquet")
@@ -108,5 +113,5 @@ def run_ingest(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-    else:  # pragma: no cover - daemon mode, not exercised in tests
-        writer.start()
+        return q
+    return writer.start()  # pragma: no cover - daemon mode, not in tests
