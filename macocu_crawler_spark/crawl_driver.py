@@ -208,6 +208,11 @@ class CrawlDriver:
         self.compact_every = 8
         self.seen_major_every = 4
         self._minor_compactions = 0
+        # snapshot expiry at commit (Iceberg maintenance): keep the newest
+        # N state-table snapshots; 0 disables.  Must stay ≥2 when enabled —
+        # live DataFrames read from the last durable pin, which can be one
+        # version behind the committing round (tables.expire_snapshots).
+        self.expire_keep = 2
         self._seen_table: str | None = None
         self._seen_n_buckets: int | None = None
         self.seen_txt: DataFrame | None = None
@@ -827,6 +832,13 @@ class CrawlDriver:
                     name, df, version=self.round_no,
                     metrics={"round": self.round_no},
                 )
+        if self.expire_keep:
+            # state snapshots older than the last expire_keep are
+            # unreachable by resume (which opens the newest) and by live
+            # DataFrames (last durable pin) — reclaim them; output tables
+            # are the corpus history and are never expired
+            for name in self.STATE_TABLES:
+                self.catalog.expire_snapshots(name, keep_last=self.expire_keep)
         meta = {
             "round": self.round_no,
             "wpage_base": self.wpage_base,

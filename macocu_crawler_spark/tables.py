@@ -136,6 +136,37 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"table {name} has no committed versions in {self.root}")
         return spark.read.parquet(*paths)
 
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        """Iceberg-style snapshot expiry (maintenance): drop all but the
+        newest ``keep_last`` committed versions of a STATE table — manifest
+        entries first (readers atomically stop seeing them), then the
+        version directories.  Returns the expired versions.
+
+        Without expiry a 10^5-round crawl accumulates one copy of
+        frontier/domains per durable snapshot — at scale that is the
+        biggest storage leak in the system.  ``keep_last`` must be ≥2: the
+        driver's live DataFrames read from the last durable pin, which may
+        be one version behind the commit that triggers expiry.  Output
+        tables (the corpus: documents/fetch_log) are append-only history
+        and are never expired."""
+        import shutil
+
+        if keep_last < 2:
+            raise ValueError("keep_last must be >= 2 (live reads may lag one"
+                             " version behind the committing round)")
+        manifest = self._load_manifest(name)
+        versions = sorted(manifest["versions"], key=lambda v: v["version"])
+        if len(versions) <= keep_last:
+            return []
+        expired = [v["version"] for v in versions[:-keep_last]]
+        manifest["versions"] = versions[-keep_last:]
+        self._store_manifest(name, manifest)
+        for v in expired:
+            shutil.rmtree(
+                os.path.join(self.root, name, f"v={v}"), ignore_errors=True
+            )
+        return expired
+
     def truncate_after(self, name: str, version: int) -> None:
         """Drop committed versions newer than `version` (resume discards
         appends made by a crashed run past its last snapshot)."""

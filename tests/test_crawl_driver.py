@@ -351,6 +351,37 @@ def test_no_fulltext_collection(spark, fixture_dir, monkeypatch):
     assert not offenders, f"driver collected full-text columns: {offenders}"
 
 
+def test_snapshot_expiry_bounds_state_and_resume_works(
+    spark, fixture_dir, sim_result
+):
+    """Iceberg-maintenance expiry (round 5): frequent commits must trim
+    state-table snapshots to expire_keep versions — on a 10^5-round crawl
+    the per-durable-pin copies of frontier/domains are otherwise the
+    biggest storage leak — while resume from the newest snapshot and the
+    continued crawl stay exact.  Output tables (the corpus) keep ALL
+    versions."""
+    workdir = tempfile.mkdtemp()
+    drv1 = CrawlDriver(
+        spark, fixture_dir, workdir, CrawlParams(max_rounds=4),
+        checkpoint_every=2,  # commits at rounds 2 and 4 → expiry fires
+    )
+    drv1.run()
+    for name in CrawlDriver.STATE_TABLES:
+        versions = drv1.catalog.versions(name)
+        assert len(versions) <= 2, (name, versions)
+    # outputs are never expired: one version per producing round
+    assert len(drv1.catalog.versions("fetch_log")) == 4
+    del drv1  # "crash"
+    drv2 = CrawlDriver(
+        spark, fixture_dir, workdir,
+        CrawlParams(max_rounds=6), checkpoint_every=0,
+    )
+    drv2.resume()
+    drv2.run(max_rounds=2)
+    sim_prefix = [(r, s + 1, u) for r, s, u in sim_result.fetch_log if r <= 6]
+    assert _fetch_log(drv2) == sim_prefix
+
+
 def test_resume_equals_uninterrupted(spark, fixture_dir, sim_result, driver_result):
     """Kill after round 5, resume from the committed snapshot, continue to
     ROUNDS — results equal the uninterrupted run (SURVEY §3.3)."""
