@@ -72,6 +72,71 @@ class TestBloomPrefilter:
         assert filter_new_candidates(candidates, empty).count() == candidates.count()
 
 
+class TestBucketedAppend:
+    """Minor-compaction append (round 5): table-level equivalence props
+    beyond the plan test in test_plans.py."""
+
+    def _write_base(self, spark, tmp_path, rows, table):
+        from macocu_crawler_spark.operators.urlseen import write_bucketed_seen
+
+        base = spark.createDataFrame(
+            rows, "scheme string, host string, path_sanitised string"
+        )
+        return write_bucketed_seen(base, str(tmp_path / table), table, 8)
+
+    def test_randomized_appends_equal_union(self, spark, tmp_path):
+        """After several random-sized appends the merged table must equal
+        base ∪ deltas exactly — no row lost, none duplicated, regardless
+        of how the deltas split across buckets."""
+        import random
+
+        from macocu_crawler_spark.operators.urlseen import append_bucketed_seen
+
+        rng = random.Random(7)
+        mk = lambda i: ("https" if i % 5 == 0 else "http",
+                        f"h{i % 37}.no", f"/p{i}")
+        expected = {mk(i) for i in range(500)}
+        table = "url_seen_bkt_rand_test"
+        try:
+            merged = self._write_base(
+                spark, tmp_path, sorted(expected), table
+            )
+            nxt = 500
+            for _ in range(3):
+                n = rng.randint(1, 400)
+                delta_rows = [mk(i) for i in range(nxt, nxt + n)]
+                nxt += n
+                expected |= set(delta_rows)
+                delta = spark.createDataFrame(
+                    delta_rows, "scheme string, host string, path_sanitised string"
+                )
+                merged = append_bucketed_seen(delta, table, 8)
+            assert {tuple(r) for r in merged.collect()} == expected
+            assert merged.count() == len(expected)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_empty_delta_append_is_noop(self, spark, tmp_path):
+        """A compaction round in which no new URLs were admitted must not
+        corrupt or grow the table (the driver can hit this on stalled
+        webs: legs exist but are empty)."""
+        from macocu_crawler_spark.operators.urlseen import append_bucketed_seen
+
+        table = "url_seen_bkt_empty_test"
+        try:
+            self._write_base(
+                spark, tmp_path, [("http", "a.no", f"/p{i}") for i in range(50)],
+                table,
+            )
+            empty = spark.createDataFrame(
+                [], "scheme string, host string, path_sanitised string"
+            )
+            merged = append_bucketed_seen(empty, table, 8)
+            assert merged.count() == 50
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 class TestSalting:
     def test_hot_host_spread_across_partitions(self, spark):
         from macocu_crawler_spark.operators.partitioning import (
