@@ -5,10 +5,14 @@ driver's tables; every SQL-expressible operator has a DuckDB oracle in
 ``oracle_sql()`` with IDENTICAL column names and float rounding.  Crawl-
 specific operators carry DIFFERENTIAL oracles: expected tables generated at
 fixture time by the reference's own code (robots_filter, langid_trigram) or
-by the pure-Python simulator/pipeline kernel (crawl_rounds, crawl_extract),
-which DuckDB then serves — so the driver value-hashes the distributed path
-against an independent implementation.  Only ANN recall gates, streaming
-ingest and multimodal remain rows-only (gated in tests/).
+by the pure-Python simulator/pipeline kernel (crawl_rounds, crawl_extract,
+streaming_ingest, multimodal_features), which DuckDB then serves — so the
+driver value-hashes the distributed path against an independent
+implementation.  ann_lsh_topk goes further: its md5-derived hyperplanes are
+engine-reproducible, so the whole multi-table multiprobe search is
+re-derived in pure DuckDB SQL.  Only ann_ivf_topk remains rows-only (its
+Spark-ML k-means|| codebook RNG is not reproducible outside Spark; the
+in-entry recall-gate row is its CORRECTNESS-visible check).
 
 Float policy: every computed double is round(x, 4) (money: round(x, 2)) on
 BOTH sides so cross-engine summation-order differences cannot flip the
@@ -420,8 +424,18 @@ def q_streaming_ingest(spark, sf):
     """The page-extract pipeline as a Structured Streaming job: fixture
     pages land as files, availableNow drains them through the SAME
     mapInPandas extract stage as the round loop into a parquet documents
-    sink (checkpointed, exactly-once).  Returns the sunk documents —
-    rows-only (correctness gate: byte-identical-vs-batch + resume tests)."""
+    sink (checkpointed, exactly-once), with streaming first-wins exact
+    dedup in the state store.
+
+    Projection contract: which URL wins a txt_hash is micro-batch
+    arrival-order-dependent (ingest.extract_stream docstring), so the
+    driver-checked projection carries only arrival-independent columns —
+    (txt_hash, lang, token_count, txt_len) are all pure functions of the
+    text.  The DuckDB oracle is the simulator-differential extract
+    expectation (pure-Python textkit.process_page per page) deduped on
+    txt_hash — so the value hash checks the ENTIRE streaming path (file
+    source, streaming mapInPandas, state-store dedup, parquet sink)
+    against the plain-Python kernel."""
     import tempfile
 
     from macocu_crawler_spark.streaming.ingest import run_ingest
@@ -437,8 +451,8 @@ def q_streaming_ingest(spark, sf):
     run_ingest(spark, landing, f"{base}/docs", f"{base}/ckpt")
     return (
         spark.read.parquet(f"{base}/docs")
-        .select("wpage_id", "url", "lang", "token_count", "txt_len", "txt_hash")
-        .orderBy("wpage_id")
+        .select("txt_hash", "lang", "token_count", "txt_len")
+        .orderBy("txt_hash")
     )
 
 
@@ -741,6 +755,64 @@ def q_robots_filter(spark, sf):
     return robots.crossJoin(paths).select(
         "host", "path", robots_allowed_udf(F.col("body"), F.col("path")).alias("allowed")
     )
+
+
+def _multimodal_expected_path() -> str:
+    """Expected (media_id, kind, payload_bytes, dim, feat_sum_raw) over the
+    deterministic synthetic media table, computed by calling the real
+    decoders (_decode_real: stdlib wave / struct+numpy BMP / RIFF-AVI walk)
+    row by row in plain Python — the driver's value hash then checks the
+    whole distributed mapInPandas plumbing (Arrow binary round-trip,
+    batching, array<float> schema) against the single-node result, the
+    same kernel-differential pattern as crawl_extract.
+
+    feat_sum is stored UNROUNDED; the oracle SQL rounds with DuckDB's
+    round() so both sides use half-away-from-zero decimal rounding
+    (Python's round() is banker's and could diverge on exact ties).  The
+    float32 features are summed as exact doubles in list order on both
+    sides (Spark F.aggregate is an ordered fold), so the raw sums are
+    bit-identical.  Cache keyed on payload content + feature dim."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from macocu_crawler_spark.pipeline.multimodal import (
+        FEATURE_DIM,
+        _decode_real,
+        synthetic_media_rows,
+    )
+
+    rows = synthetic_media_rows()
+    key_h = hashlib.md5()
+    for r in rows:
+        key_h.update(repr((r[0], r[1])).encode())
+        key_h.update(bytes(r[2]))
+    key_h.update(repr(FEATURE_DIM).encode())
+    out = f"/tmp/macocu-multimodal-expected-{key_h.hexdigest()[:16]}.parquet"
+    if not os.path.exists(out):
+        ids, kinds, sizes, dims, sums = [], [], [], [], []
+        for media_id, kind, payload, *_rest in rows:
+            feature = _decode_real(kind, bytes(payload)).tolist()
+            ids.append(media_id)
+            kinds.append(kind)
+            sizes.append(len(payload))
+            dims.append(len(feature))
+            acc = 0.0
+            for v in feature:  # same ordered fold as F.aggregate
+                acc = acc + v
+            sums.append(acc)
+        pq.write_table(
+            pa.table({
+                "media_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "payload_bytes": pa.array(sizes, type=pa.int64()),
+                "dim": pa.array(dims, type=pa.int32()),
+                "feat_sum_raw": pa.array(sums, type=pa.float64()),
+            }),
+            out,
+        )
+    return out
 
 
 def q_multimodal_features(spark, sf):
@@ -1070,4 +1142,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, lang, txt_len, token_count, txt_hash
             FROM read_parquet('{_crawl_extract_expected_path()}')
         """,
+        # streaming ingest ≡ the same extract expectation, deduped on
+        # txt_hash and restricted to accepted (txt_len > 0) docs — the
+        # projection is arrival-order-independent (q_streaming_ingest
+        # docstring), so the value hash covers the full streaming path
+        "streaming_ingest": f"""
+            SELECT DISTINCT txt_hash, lang, token_count, txt_len
+            FROM read_parquet('{_crawl_extract_expected_path()}')
+            WHERE txt_len > 0
+        """,
+        # kernel-differential (same pattern as crawl_extract): expected
+        # features computed by the real decoders row-by-row in plain
+        # Python; round() happens HERE so both engines use decimal
+        # half-away-from-zero rounding (_multimodal_expected_path)
+        "multimodal_features": f"""
+            SELECT media_id, kind, payload_bytes, dim,
+                   round(feat_sum_raw, 4) AS feat_sum
+            FROM read_parquet('{_multimodal_expected_path()}')
+        """,
+        # independent full re-derivation of the deterministic multi-table
+        # multiprobe LSH search + recall gate inside DuckDB itself
+        "ann_lsh_topk": similarity.ann_lsh_topk_oracle(),
     }

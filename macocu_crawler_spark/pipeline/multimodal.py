@@ -503,12 +503,10 @@ def synthetic_avi(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic media table for tests/demo (no external data): every
-    kind carries a REAL payload in a stdlib-parseable format — WAV audio,
-    24-bit BMP images, uncompressed RIFF-AVI video — so _decode_real
-    handles all rows and the digest fake is exercised only by explicitly
-    undecodable payloads in tests."""
+def synthetic_media_rows(n: int = 64) -> list[tuple]:
+    """The deterministic media rows behind synthetic_media, exposed as
+    plain Python so the entry oracle can regenerate the identical payloads
+    single-node (fixture-time kernel differential, no Spark involved)."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -524,4 +522,13 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             payload, mime = synthetic_avi(i, w, h, n_frames=nf), "video/x-msvideo"
             dur = 1000 * (1 + i % 5)
         rows.append((i, kind, bytearray(payload), mime, w, h, dur))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic media table for tests/demo (no external data): every
+    kind carries a REAL payload in a stdlib-parseable format — WAV audio,
+    24-bit BMP images, uncompressed RIFF-AVI video — so _decode_real
+    handles all rows and the digest fake is exercised only by explicitly
+    undecodable payloads in tests."""
+    return spark.createDataFrame(synthetic_media_rows(n), MEDIA_SCHEMA)

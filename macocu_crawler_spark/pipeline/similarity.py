@@ -289,6 +289,97 @@ def ann_lsh_with_recall(
     )
 
 
+def ann_lsh_topk_oracle(
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    recall_floor: float = 0.8,
+) -> str:
+    """Full DuckDB replica of ann_lsh_with_recall + the CORRECTNESS gate
+    row — possible because the LSH is deterministic by construction: the
+    hyperplane signs come from md5(table ':' plane ':' dim), not an RNG, so
+    a second engine can rebuild the exact same buckets (lsh_bucket_col).
+    Projections are rounded to 6 decimals before the sign test on BOTH
+    sides (same pragma as cosine_pairs_lsh_oracle) so cross-engine float
+    summation order cannot flip a bucket bit; cosines are rounded to 4
+    before ranking, ties broken by neighbor_id.
+
+    This is the strongest oracle form in the repo — not a fixture-time
+    kernel differential but an independent re-derivation of the whole
+    multi-table multiprobe search inside another SQL engine.  (ann_ivf has
+    no such oracle by nature: its k-means codebook comes from Spark ML's
+    k-means|| initialisation, whose RNG stream is not reproducible outside
+    Spark — it stays rows-only with the in-entry recall gate.)"""
+    probes = ", ".join(["(0)"] + [f"({1 << p})" for p in range(n_planes)])
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), pos AS (
+  SELECT vec_id, emb, generate_subscripts(emb, 1) AS i FROM e
+), proj AS (
+  SELECT t.t AS tbl, p.p AS plane, vec_id,
+         round(sum(emb[i] * ((ascii(substr(md5(t.t || ':' || p.p || ':' || (i - 1)), 1, 1)) % 2) * 2 - 1)), 6) AS pr
+  FROM pos, range(0, {n_tables}) AS t(t), range(0, {n_planes}) AS p(p)
+  GROUP BY t.t, p.p, vec_id
+), bucket AS (
+  SELECT tbl, vec_id,
+         CAST(sum(CASE WHEN pr >= 0 THEN 2 ** plane ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY tbl, vec_id
+), qprobe AS (
+  SELECT DISTINCT tbl, vec_id AS query_id, xor(bucket, pb) AS bucket
+  FROM bucket, (VALUES {probes}) AS probes(pb)
+  WHERE vec_id < {n_queries}
+), cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qprobe q JOIN bucket c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.query_id != c.vec_id
+), lsh AS (
+  SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rank FROM (
+    SELECT cand.query_id, cand.neighbor_id,
+           round(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                        ec.embedding::DOUBLE[]), 4) AS cos,
+           row_number() OVER (
+             PARTITION BY cand.query_id
+             ORDER BY round(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                                   ec.embedding::DOUBLE[]), 4) DESC,
+                      cand.neighbor_id ASC) AS rk
+    FROM cand
+    JOIN embeddings eq ON eq.vec_id = cand.query_id
+    JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+  ) WHERE rk <= {k}
+), bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[]), 4) DESC,
+                      c.vec_id ASC) AS rk
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rk <= {k}
+), recall AS (
+  SELECT l.query_id,
+         round(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / {k}, 4)
+           AS recall_at_k
+  FROM lsh l
+  LEFT JOIN bf b ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+  GROUP BY l.query_id
+), gate AS (
+  SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS neighbor_id,
+         mean_recall AS cos, CAST(0 AS INT) AS rank, mean_recall AS recall_at_k
+  FROM (SELECT round(avg(recall_at_k), 4) AS mean_recall FROM recall)
+  WHERE mean_recall >= {recall_floor}
+)
+SELECT CAST(l.query_id AS BIGINT) AS query_id,
+       CAST(l.neighbor_id AS BIGINT) AS neighbor_id,
+       l.cos, l.rank, r.recall_at_k
+FROM lsh l JOIN recall r ON l.query_id = r.query_id
+UNION ALL SELECT * FROM gate
+"""
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 10,
