@@ -10,9 +10,9 @@ streaming_ingest, multimodal_features), which DuckDB then serves — so the
 driver value-hashes the distributed path against an independent
 implementation.  ann_lsh_topk goes further: its md5-derived hyperplanes are
 engine-reproducible, so the whole multi-table multiprobe search is
-re-derived in pure DuckDB SQL.  Only ann_ivf_topk remains rows-only (its
-Spark-ML k-means|| codebook RNG is not reproducible outside Spark; the
-in-entry recall-gate row is its CORRECTNESS-visible check).
+re-derived in pure DuckDB SQL.  ann_ivf_topk uses the deterministic
+quantizer (similarity.ann_ivf_det_topk) so it too is value-hash-checked
+(_ann_ivf_expected_path) — EVERY entry now carries an oracle.
 
 Float policy: every computed double is round(x, 4) (money: round(x, 2)) on
 BOTH sides so cross-engine summation-order differences cannot flip the
@@ -403,6 +403,34 @@ FROM parsed
 _FIXTURE_CACHE: dict[str, str] = {}
 
 
+def _kernel_code_bytes(*modules) -> bytes:
+    """Source bytes of the kernel modules an expectation table is computed
+    FROM — folded into every expectation cache key so editing a kernel can
+    never silently reuse a stale /tmp or fixture-dir expectation (the
+    stale-cache class ADVICE r4 flagged for content, extended to code)."""
+    chunks = []
+    for mod in modules:
+        with open(mod.__file__, "rb") as f:
+            chunks.append(f.read())
+    return b"\x00".join(chunks)
+
+
+def _functions_pkg_bytes() -> bytes:
+    """Source bytes of the whole functions/ package (the page-pipeline
+    kernel closure: textkit, boilerplate, charset, trigram, urlkit, ...)."""
+    import glob as _glob
+
+    chunks = []
+    pkg_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "macocu_crawler_spark", "functions",
+    )
+    for p in sorted(_glob.glob(os.path.join(pkg_dir, "*.py"))):
+        with open(p, "rb") as f:
+            chunks.append(f.read())
+    return b"\x00".join(chunks)
+
+
 def _fixture_dir() -> str:
     if "dir" not in _FIXTURE_CACHE:
         import tempfile
@@ -671,6 +699,11 @@ def _crawl_rounds_expected_path() -> str:
         with open(os.path.join(fd, name), "rb") as f:
             key_h.update(f.read())
     key_h.update(b"max_rounds=5")
+    # the expectation is computed BY the simulator — key its code too
+    from macocu_crawler_spark import simulator as _sim_mod
+
+    key_h.update(_kernel_code_bytes(_sim_mod))
+    key_h.update(_functions_pkg_bytes())
     out = os.path.join(fd, f"fetchlog_expected-{key_h.hexdigest()[:16]}.parquet")
     if not os.path.exists(out):
         sim = CrawlSimulator(_fixture_web(), CrawlParams(max_rounds=5)).run()
@@ -712,6 +745,8 @@ def _crawl_extract_expected_path() -> str:
     with open(os.path.join(fd, "pages.parquet"), "rb") as f:
         key_h.update(f.read())
     key_h.update(repr(config.CONVERSION_ENABLED).encode())
+    # the expectation is computed BY the pipeline kernel — key its code too
+    key_h.update(_functions_pkg_bytes())
     out = os.path.join(fd, f"extract_expected-{key_h.hexdigest()[:16]}.parquet")
     if not os.path.exists(out):
         tbl = pq.read_table(
@@ -758,7 +793,7 @@ def q_robots_filter(spark, sf):
 
 
 def _multimodal_expected_path() -> str:
-    """Expected (media_id, kind, payload_bytes, dim, feat_sum_raw) over the
+    """Expected (media_id, kind, payload_bytes, dim, feat_sum) over the
     deterministic synthetic media table, computed by calling the real
     decoders (_decode_real: stdlib wave / struct+numpy BMP / RIFF-AVI walk)
     row by row in plain Python — the driver's value hash then checks the
@@ -766,22 +801,26 @@ def _multimodal_expected_path() -> str:
     batching, array<float> schema) against the single-node result, the
     same kernel-differential pattern as crawl_extract.
 
-    feat_sum is stored UNROUNDED; the oracle SQL rounds with DuckDB's
-    round() so both sides use half-away-from-zero decimal rounding
-    (Python's round() is banker's and could diverge on exact ties).  The
-    float32 features are summed as exact doubles in list order on both
+    The float32 features are summed as exact doubles in list order on both
     sides (Spark F.aggregate is an ordered fold), so the raw sums are
-    bit-identical.  Cache keyed on payload content + feature dim."""
+    bit-identical; feat_sum is then rounded with
+    similarity.F_round_half_up — decimal HALF_UP on the shortest repr,
+    Spark's exact BigDecimal.valueOf semantic.  (DuckDB's round() scales
+    the BINARY double instead and diverges from Spark on 4th-decimal
+    ties, so the rounding deliberately does NOT happen in the oracle SQL.)
+    Cache keyed on payload content + feature dim + decoder source."""
     import hashlib
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from macocu_crawler_spark.pipeline import multimodal as _mm_mod
     from macocu_crawler_spark.pipeline.multimodal import (
         FEATURE_DIM,
         _decode_real,
         synthetic_media_rows,
     )
+    from macocu_crawler_spark.pipeline.similarity import F_round_half_up
 
     rows = synthetic_media_rows()
     key_h = hashlib.md5()
@@ -789,6 +828,8 @@ def _multimodal_expected_path() -> str:
         key_h.update(repr((r[0], r[1])).encode())
         key_h.update(bytes(r[2]))
     key_h.update(repr(FEATURE_DIM).encode())
+    # the expectation is computed BY the decoders — key their code too
+    key_h.update(_kernel_code_bytes(_mm_mod))
     out = f"/tmp/macocu-multimodal-expected-{key_h.hexdigest()[:16]}.parquet"
     if not os.path.exists(out):
         ids, kinds, sizes, dims, sums = [], [], [], [], []
@@ -801,14 +842,14 @@ def _multimodal_expected_path() -> str:
             acc = 0.0
             for v in feature:  # same ordered fold as F.aggregate
                 acc = acc + v
-            sums.append(acc)
+            sums.append(F_round_half_up(acc, 4))
         pq.write_table(
             pa.table({
                 "media_id": pa.array(ids, type=pa.int64()),
                 "kind": pa.array(kinds, type=pa.string()),
                 "payload_bytes": pa.array(sizes, type=pa.int64()),
                 "dim": pa.array(dims, type=pa.int32()),
-                "feat_sum_raw": pa.array(sums, type=pa.float64()),
+                "feat_sum": pa.array(sums, type=pa.float64()),
             }),
             out,
         )
@@ -855,12 +896,195 @@ def q_ann_lsh(spark, sf):
     return df.unionByName(gate)
 
 
+def _ann_ivf_expected_path(n_queries=10, k=5, n_cells=8, n_probe=5, n_iter=10) -> str:
+    """Expected ann_ivf_det_topk output (+ the recall gate row) for EVERY
+    testdata sf, computed by a plain-Python replica of the deterministic
+    IVF (similarity.ivf_det_codebook / ann_ivf_det_topk) — md5-seeded
+    init, 4-decimal HALF_UP rounding of every assignment distance,
+    centroid component and cosine, argmin ties to the smallest cell.
+
+    Bit-equality contract: every quantity Spark computes as an ORDERED
+    fold (norms, distances, dots) is reproduced here with a left-to-right
+    Python loop — identical IEEE op sequence, identical bits; the one
+    unordered aggregate (the distributed centroid mean) is fixed-point on
+    both sides — per-row 1e-6 quantisation to longs, whose sums are
+    exactly associative, then one double division — so reduce order
+    cannot produce even a last-bit difference.  Rounding uses
+    similarity.F_round_half_up (decimal HALF_UP on repr, the BigDecimal
+    semantic of Spark's F.round) — Python's round() is banker's and would
+    diverge on exact ties.
+
+    oracle_sql() has no sf parameter, so rows carry a content
+    discriminator — (n_vecs, fp_sum = round(sum of first components, 3))
+    — and the oracle filters on the live embeddings view's own
+    fingerprint.  Cache keyed on all embeddings content + params."""
+    import glob
+    import hashlib
+    from math import sqrt
+
+    import duckdb as _duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from macocu_crawler_spark.pipeline.similarity import F_round_half_up as r
+
+    files = sorted(glob.glob("/root/testdata/sf*/embeddings.parquet"))
+    key_h = hashlib.md5()
+    for f in files:
+        with open(f, "rb") as fh:
+            key_h.update(hashlib.md5(fh.read()).digest())
+    key_h.update(repr((n_queries, k, n_cells, n_probe, n_iter)).encode())
+    # the expectation replicates similarity's det-IVF — key both codes
+    import inspect
+
+    from macocu_crawler_spark.pipeline import similarity as _sim_pipe
+
+    key_h.update(_kernel_code_bytes(_sim_pipe))
+    key_h.update(inspect.getsource(_ann_ivf_expected_path).encode())
+    out = f"/tmp/macocu-ann-ivf-expected-{key_h.hexdigest()[:16]}.parquet"
+    if os.path.exists(out):
+        return out
+
+    def fold_sq(v):  # ordered fold of v*v (the _unit_col norm)
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return acc
+
+    cols = {"query_id": [], "neighbor_id": [], "cos": [], "rank": [],
+            "n_vecs": [], "fp_sum": []}
+    seen_fps = set()
+    for f in files:
+        tbl = pq.read_table(f, columns=["vec_id", "embedding"]).to_pydict()
+        ids = tbl["vec_id"]
+        embs = [[float(x) for x in e] for e in tbl["embedding"]]
+        n_vecs = len(ids)
+        fp_sum = _duckdb.sql(
+            f"SELECT round(sum(embedding[1]::DOUBLE), 3) "
+            f"FROM read_parquet('{f}')"
+        ).fetchone()[0]
+        if (n_vecs, fp_sum) in seen_fps:
+            continue  # identical fingerprint: the filter can't tell them apart
+        seen_fps.add((n_vecs, fp_sum))
+        units = [
+            [x / sqrt(fold_sq(e)) for x in e] for e in embs
+        ]
+        # --- codebook (ivf_det_codebook replica) ---
+        order = sorted(
+            range(n_vecs),
+            key=lambda j: (hashlib.md5(str(ids[j]).encode()).hexdigest(), ids[j]),
+        )
+        # like Spark's .limit(n_cells): fewer vectors than cells → fewer
+        # cells (zero-norm embeddings stay out of contract on both sides:
+        # the embeddings tables carry non-degenerate vectors)
+        centroids = [[r(x, 4) for x in units[j]] for j in order[:n_cells]]
+        cells = range(len(centroids))
+
+        def d2_of(u, c):  # ordered fold of (a-b)^2, rounded like Spark
+            acc = 0.0
+            for a, b in zip(u, c):
+                d = a - b
+                acc = acc + d * d
+            return r(acc, 4)
+
+        dim = len(embs[0])
+        for _ in range(n_iter):
+            members: list[list[int]] = [[] for _ in cells]
+            for j in range(n_vecs):
+                best = min(
+                    (d2_of(units[j], centroids[cell]), cell)
+                    for cell in cells
+                )
+                members[best[1]].append(j)
+            for cell in cells:
+                if members[cell]:
+                    m = len(members[cell])
+                    # fixed-point mean (exact long sums ≡ Spark's
+                    # sum(cast(round(val*1e6, 0) as long)) / (1e6 * count))
+                    centroids[cell] = [
+                        r(float(sum(
+                            int(r(units[j][p] * 1e6, 0)) for j in members[cell]
+                        )) / (1e6 * m), 4)
+                        for p in range(dim)
+                    ]
+        # --- final assignment + probes + search (ann_ivf_det_topk replica) ---
+        cell_of = {}
+        for j in range(n_vecs):
+            cell_of[ids[j]] = min(
+                (d2_of(units[j], centroids[cell]), cell) for cell in cells
+            )[1]
+        by_cell: dict[int, list[int]] = {}
+        for j in range(n_vecs):
+            by_cell.setdefault(cell_of[ids[j]], []).append(j)
+
+        def cos_of(a, b):  # ordered folds: dot, |a|, |b| (the _cos replica)
+            dot = 0.0
+            for x, y in zip(a, b):
+                dot = dot + x * y
+            return r(dot / (sqrt(fold_sq(a)) * sqrt(fold_sq(b))), 4)
+
+        idx = {ids[j]: j for j in range(n_vecs)}
+        ivf_pairs = []
+        for qid in sorted(i for i in ids if i < n_queries):
+            qj = idx[qid]
+            probed = sorted(
+                cells, key=lambda cell: (d2_of(units[qj], centroids[cell]), cell)
+            )[:n_probe]
+            cand = {
+                ids[j] for cell in probed for j in by_cell.get(cell, [])
+            } - {qid}
+            scored = sorted(
+                ((cos_of(embs[qj], embs[idx[nid]]), nid) for nid in cand),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            for rank0, (cs, nid) in enumerate(scored):
+                ivf_pairs.append((qid, nid, cs, rank0 + 1))
+        # --- recall gate vs brute force (q_ann_ivf replica) ---
+        bf = set()
+        for qid in sorted(i for i in ids if i < n_queries):
+            qj = idx[qid]
+            scored = sorted(
+                ((cos_of(embs[qj], embs[j]), ids[j])
+                 for j in range(n_vecs) if ids[j] != qid),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            bf |= {(qid, nid) for _c, nid in scored}
+        hits = sum(1 for qid, nid, _c, _r in ivf_pairs if (qid, nid) in bf)
+        recall = r(hits / (n_queries * k), 4)
+        rows = list(ivf_pairs)
+        if recall >= ANN_RECALL_FLOOR:
+            rows.append((-1, -1, recall, 0))
+        for qid, nid, cs, rk in rows:
+            cols["query_id"].append(qid)
+            cols["neighbor_id"].append(nid)
+            cols["cos"].append(cs)
+            cols["rank"].append(rk)
+            cols["n_vecs"].append(n_vecs)
+            cols["fp_sum"].append(fp_sum)
+    pq.write_table(
+        pa.table({
+            "query_id": pa.array(cols["query_id"], type=pa.int64()),
+            "neighbor_id": pa.array(cols["neighbor_id"], type=pa.int64()),
+            "cos": pa.array(cols["cos"], type=pa.float64()),
+            "rank": pa.array(cols["rank"], type=pa.int32()),
+            "n_vecs": pa.array(cols["n_vecs"], type=pa.int64()),
+            "fp_sum": pa.array(cols["fp_sum"], type=pa.float64()),
+        }),
+        out,
+    )
+    return out
+
+
 def q_ann_ivf(spark, sf, n_queries=10, k=5):
     """IVF (k-means cell) ANN with the same CORRECTNESS recall gate shape
     as q_ann_lsh: a (-1, -1, recall, 0) summary row exists only while
-    recall@k vs brute force clears the floor."""
+    recall@k vs brute force clears the floor.  Uses the DETERMINISTIC
+    quantizer (similarity.ann_ivf_det_topk — md5-seeded init + rounded
+    Lloyd's, engine-reproducible) so the driver can value-hash the result
+    against the plain-Python replica (_ann_ivf_expected_path); the Spark-ML
+    k-means|| variant stays in the library as similarity.ann_ivf_topk."""
     emb = _emb(spark, sf)
-    ivf = similarity.ann_ivf_topk(emb, n_queries=n_queries, k=k)
+    ivf = similarity.ann_ivf_det_topk(emb, n_queries=n_queries, k=k)
     bf = similarity.ann_bruteforce_topk(emb, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
@@ -1153,14 +1377,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # kernel-differential (same pattern as crawl_extract): expected
         # features computed by the real decoders row-by-row in plain
-        # Python; round() happens HERE so both engines use decimal
-        # half-away-from-zero rounding (_multimodal_expected_path)
+        # Python, pre-rounded with Spark's exact repr-HALF_UP semantic
+        # (DuckDB's round() diverges on binary-tie values —
+        # _multimodal_expected_path docstring)
         "multimodal_features": f"""
-            SELECT media_id, kind, payload_bytes, dim,
-                   round(feat_sum_raw, 4) AS feat_sum
+            SELECT media_id, kind, payload_bytes, dim, feat_sum
             FROM read_parquet('{_multimodal_expected_path()}')
         """,
         # independent full re-derivation of the deterministic multi-table
         # multiprobe LSH search + recall gate inside DuckDB itself
         "ann_lsh_topk": similarity.ann_lsh_topk_oracle(),
+        # plain-Python replica of the deterministic IVF (md5-seeded init +
+        # rounded Lloyd's); rows are selected by the live embeddings
+        # view's content fingerprint since oracle_sql() has no sf
+        # parameter (_ann_ivf_expected_path)
+        "ann_ivf_topk": f"""
+            SELECT query_id, neighbor_id, cos, rank
+            FROM read_parquet('{_ann_ivf_expected_path()}')
+            WHERE n_vecs = (SELECT count(*) FROM embeddings)
+              AND abs(fp_sum - (SELECT round(sum(embedding[1]::DOUBLE), 3)
+                                FROM embeddings)) < 1e-6
+        """,
     }

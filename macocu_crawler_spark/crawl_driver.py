@@ -212,7 +212,10 @@ class CrawlDriver:
         # N state-table snapshots; 0 disables.  Must stay ≥2 when enabled —
         # live DataFrames read from the last durable pin, which can be one
         # version behind the committing round (tables.expire_snapshots).
+        # _pin_versions records, per state table, the version its live
+        # DataFrame currently scans; expiry protects it unconditionally
         self.expire_keep = 2
+        self._pin_versions: dict[str, int] = {}
         self._seen_table: str | None = None
         self._seen_n_buckets: int | None = None
         self.seen_txt: DataFrame | None = None
@@ -254,9 +257,12 @@ class CrawlDriver:
     def _pin_durable(self, name: str, df: DataFrame) -> DataFrame:
         """Commit state to the catalog and read it back: truncates lineage
         AND resets statistics to the true on-disk size (the production
-        equivalent — the Iceberg MERGE commit — does exactly this)."""
+        equivalent — the Iceberg MERGE commit — does exactly this).
+        Records the version the returned live plan scans so snapshot
+        expiry never deletes it (commit() passes it as protect_from)."""
         self.catalog.write(name, df, version=self.round_no,
                            metrics={"round": self.round_no})
+        self._pin_versions[name] = self.round_no
         return self.catalog.read(self.spark, name, version=self.round_no)
 
     # -- bootstrap ---------------------------------------------------------------
@@ -834,11 +840,18 @@ class CrawlDriver:
                 )
         if self.expire_keep:
             # state snapshots older than the last expire_keep are
-            # unreachable by resume (which opens the newest) and by live
-            # DataFrames (last durable pin) — reclaim them; output tables
-            # are the corpus history and are never expired
+            # unreachable by resume (which opens the newest) — reclaim
+            # them, EXCEPT any version a live DataFrame still scans: a
+            # table durable-pinned less often than commit() runs (url_seen
+            # on compact_every vs checkpoint_every) would otherwise lose
+            # the files under its own plan after two commits between pins
+            # and crash the next round.  protect = the live plan's pin
+            # version.  Output tables are corpus history, never expired
             for name in self.STATE_TABLES:
-                self.catalog.expire_snapshots(name, keep_last=self.expire_keep)
+                self.catalog.expire_snapshots(
+                    name, keep_last=self.expire_keep,
+                    protect=self._pin_versions.get(name),
+                )
         meta = {
             "round": self.round_no,
             "wpage_base": self.wpage_base,
@@ -858,6 +871,7 @@ class CrawlDriver:
         self.metrics = meta["metrics"]
         for name in self.STATE_TABLES:
             setattr(self, name, self.catalog.read(self.spark, name, version=self.round_no))
+            self._pin_versions[name] = self.round_no
         self._init_bloom()
         self._compact_seen_parts()
         # outputs appended by rounds AFTER the resumed snapshot belong to the

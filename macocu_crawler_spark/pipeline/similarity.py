@@ -307,10 +307,11 @@ def ann_lsh_topk_oracle(
 
     This is the strongest oracle form in the repo — not a fixture-time
     kernel differential but an independent re-derivation of the whole
-    multi-table multiprobe search inside another SQL engine.  (ann_ivf has
-    no such oracle by nature: its k-means codebook comes from Spark ML's
-    k-means|| initialisation, whose RNG stream is not reproducible outside
-    Spark — it stays rows-only with the in-entry recall gate.)"""
+    multi-table multiprobe search inside another SQL engine.  (The ML
+    k-means|| IVF variant has no such oracle by nature — its RNG stream is
+    not reproducible outside Spark; the driver entry therefore uses the
+    deterministic quantizer, ann_ivf_det_topk, which a plain-Python
+    replica reproduces bit-for-bit.)"""
     probes = ", ".join(["(0)"] + [f"({1 << p})" for p in range(n_planes)])
     return f"""
 WITH e AS (
@@ -378,6 +379,191 @@ SELECT CAST(l.query_id AS BIGINT) AS query_id,
 FROM lsh l JOIN recall r ON l.query_id = r.query_id
 UNION ALL SELECT * FROM gate
 """
+
+
+def _unit_col(emb: str = "embedding"):
+    """L2-normalised double copy of an embedding column.  The norm is an
+    ORDERED left fold (F.aggregate), so a single-node replica that sums in
+    list order reproduces it bit-for-bit."""
+    v = F.col(emb).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    return F.transform(v, lambda x: x / norm)
+
+
+def ivf_det_codebook(
+    embeddings: DataFrame, n_cells: int = 8, n_iter: int = 10
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means codebook over the unit sphere — the
+    engine-reproducible alternative to Spark ML's k-means|| (whose RNG
+    stream no other engine can replay).  No RNG anywhere:
+
+    - init: the ``n_cells`` vectors with the smallest md5(vec_id) — a
+      hash-spread sample of the data, reproducible from the table alone
+    - every assignment distance and every centroid component is rounded to
+      4 decimals (HALF_UP on both engines) BEFORE use, and the ONE
+      unordered aggregate in the algorithm — the distributed centroid
+      mean — is computed in FIXED POINT: each component is quantised to a
+      long at 1e-6 per row, and long sums are exactly associative, so the
+      mean is bit-identical under any partitioning or reduce order (a
+      float sum + rounding would still flake on values adjacent to a
+      rounding boundary); argmin ties go to the smallest cell id
+    - fixed ``n_iter`` Lloyd iterations (no convergence test — another
+      hidden nondeterminism source)
+
+    Each iteration is one broadcast-join assignment pass plus one
+    (cell, dim)-keyed mean (map-side combined); only the n_cells × dim
+    centroid table ever reaches the driver — the same driver-side footprint
+    as Spark ML's model.clusterCenters().  At 10^9 vectors, train on a
+    bounded sample (``embeddings.limit(...)``) exactly as ML pipelines do;
+    assignment of the full table stays distributed in ann_ivf_det_topk."""
+    vecs = embeddings.select("vec_id", _unit_col().alias("unit")).cache()
+    init_rows = (
+        vecs.select(
+            "vec_id", "unit",
+            F.md5(F.col("vec_id").cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [
+        [float(F_round_half_up(x, 4)) for x in r.unit] for r in init_rows
+    ]
+    dim = len(centroids[0])
+    spark = embeddings.sparkSession
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cell int, center array<double>",
+        )
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(F.col("unit"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ),
+            4,
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cdf))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cell")).alias("m"),
+                F.first("unit").alias("unit"),  # constant within the group
+            )
+            .select(F.col("m.cell").alias("cell"), "unit")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("unit").alias("pos", "val"))
+            .withColumn(
+                "scaled", F.round(F.col("val") * 1e6, 0).cast("long")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    F.sum("scaled") / (F.lit(1e6) * F.count("*")), 4
+                ).alias("m")
+            )
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cells keep old
+        by_cell: dict[int, list] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, [None] * dim)[r.pos] = r.m
+        for cell, comps in by_cell.items():
+            new_centroids[cell] = [float(x) for x in comps]
+        centroids = new_centroids
+    vecs.unpersist()
+    return centroids
+
+
+def F_round_half_up(x: float, n: int) -> float:
+    """Python replica of Spark's F.round / java BigDecimal.valueOf(x)
+    .setScale(n, HALF_UP): decimal HALF_UP on the shortest string form of
+    the double (Double.toString ≡ repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP
+    ))
+
+
+def ann_ivf_det_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 5,
+    n_iter: int = 10,
+) -> DataFrame:
+    """ann_ivf_topk with the DETERMINISTIC codebook (ivf_det_codebook)
+    instead of Spark ML k-means|| — identical plan shape (broadcast
+    centroids, per-cell equi-join search), but every step is reproducible
+    by a single-node replica, so the driver entry can carry a full DuckDB
+    value-hash oracle (the ML variant stays available as ann_ivf_topk).
+    Assignment and probe ranking use the same rounded (4-decimal HALF_UP)
+    distances as the codebook build; cosines are rounded to 4 before
+    ranking, ties to the smallest neighbor_id."""
+    spark = embeddings.sparkSession
+    centroids = ivf_det_codebook(embeddings, n_cells=n_cells, n_iter=n_iter)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, center array<double>"
+    )
+    vecs = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        _unit_col().alias("unit"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("unit"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+        4,
+    )
+    scored = vecs.crossJoin(F.broadcast(cdf)).withColumn("d2", d2)
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cell")).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("m.cell").alias("cell"))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    q = (
+        scored.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("eq"),
+            "cell",
+            "d2",
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "eq", "cell")
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"), "cell"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", F.round(_cos("eq", "ec"), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
 
 
 def ann_ivf_topk(

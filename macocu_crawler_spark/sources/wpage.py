@@ -65,12 +65,20 @@ def _atomic_write(out_dir: str, suffix: str, data: bytes) -> str:
     with open(tmp_path, "wb") as f:
         f.write(data)
     os.rename(tmp_path, path)
-    # a task attempt that died between write and rename leaves its
-    # hidden temp behind; the surviving attempt sweeps its siblings so
-    # the litter stays bounded over long crawls (ADVICE r4)
+    # a task attempt that died between write and rename leaves its hidden
+    # temp behind; the surviving attempt sweeps its siblings so the litter
+    # stays bounded over long crawls (ADVICE r4).  Age-gated: a LIVE
+    # speculative attempt's temp (written seconds ago) must not be swept —
+    # unlinking it between its write and rename would fail that attempt
+    # and count toward spark.task.maxFailures; only temps old enough that
+    # their attempt is certainly dead are removed
+    import time
+
+    cutoff = time.time() - 600
     for stale in glob.glob(os.path.join(out_dir, f".part-{final}.attempt-*{suffix}")):
         try:
-            os.remove(stale)
+            if os.path.getmtime(stale) < cutoff:
+                os.remove(stale)
         except OSError:
             pass
     return path

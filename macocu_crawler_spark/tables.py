@@ -136,7 +136,9 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"table {name} has no committed versions in {self.root}")
         return spark.read.parquet(*paths)
 
-    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+    def expire_snapshots(
+        self, name: str, keep_last: int = 2, protect: int | None = None
+    ) -> list[int]:
         """Iceberg-style snapshot expiry (maintenance): drop all but the
         newest ``keep_last`` committed versions of a STATE table — manifest
         entries first (readers atomically stop seeing them), then the
@@ -146,7 +148,14 @@ class SnapshotCatalog:
         frontier/domains per durable snapshot — at scale that is the
         biggest storage leak in the system.  ``keep_last`` must be ≥2: the
         driver's live DataFrames read from the last durable pin, which may
-        be one version behind the commit that triggers expiry.  Output
+        be one version behind the commit that triggers expiry — and when
+        the pin can be MORE than one commit behind (url_seen is durable-
+        pinned only every compact_every rounds while commit() runs every
+        checkpoint_every), the caller passes its pin version as
+        ``protect``: that exact version survives regardless of keep_last,
+        because a live plan still scans its files (Iceberg's ref/branch
+        protection); intermediate commit-only snapshots between the pin
+        and the newest have no readers and are expired normally.  Output
         tables (the corpus: documents/fetch_log) are append-only history
         and are never expired."""
         import shutil
@@ -158,8 +167,15 @@ class SnapshotCatalog:
         versions = sorted(manifest["versions"], key=lambda v: v["version"])
         if len(versions) <= keep_last:
             return []
-        expired = [v["version"] for v in versions[:-keep_last]]
-        manifest["versions"] = versions[-keep_last:]
+        cut = versions[:-keep_last]
+        if protect is not None:
+            cut = [v for v in cut if v["version"] != protect]
+        if not cut:
+            return []
+        expired = [v["version"] for v in cut]
+        manifest["versions"] = [
+            v for v in versions if v["version"] not in set(expired)
+        ]
         self._store_manifest(name, manifest)
         for v in expired:
             shutil.rmtree(

@@ -362,23 +362,29 @@ def test_snapshot_expiry_bounds_state_and_resume_works(
     versions."""
     workdir = tempfile.mkdtemp()
     drv1 = CrawlDriver(
-        spark, fixture_dir, workdir, CrawlParams(max_rounds=4),
+        spark, fixture_dir, workdir, CrawlParams(max_rounds=5),
         checkpoint_every=2,  # commits at rounds 2 and 4 → expiry fires
     )
+    # url_seen/seen_txt/seen_raw are durable-pinned only every
+    # compact_every rounds (init pin = v0 here), so by the round-4 commit
+    # two commits have happened since their live plans' pin — expiry must
+    # PROTECT v0 (the files under the live union chain) or round 5's
+    # admission anti-join reads deleted files and the run crashes
     drv1.run()
     for name in CrawlDriver.STATE_TABLES:
         versions = drv1.catalog.versions(name)
-        assert len(versions) <= 2, (name, versions)
+        # bound: expire_keep newest + the protected live-pin version
+        assert len(versions) <= drv1.expire_keep + 1, (name, versions)
     # outputs are never expired: one version per producing round
-    assert len(drv1.catalog.versions("fetch_log")) == 4
+    assert len(drv1.catalog.versions("fetch_log")) == 5
     del drv1  # "crash"
     drv2 = CrawlDriver(
         spark, fixture_dir, workdir,
-        CrawlParams(max_rounds=6), checkpoint_every=0,
+        CrawlParams(max_rounds=7), checkpoint_every=0,
     )
     drv2.resume()
     drv2.run(max_rounds=2)
-    sim_prefix = [(r, s + 1, u) for r, s, u in sim_result.fetch_log if r <= 6]
+    sim_prefix = [(r, s + 1, u) for r, s, u in sim_result.fetch_log if r <= 7]
     assert _fetch_log(drv2) == sim_prefix
 
 

@@ -52,11 +52,10 @@ def test_every_query_runs_and_oracles_cover(entrymod):
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert len(qs) >= 25
     assert set(os_) <= set(qs)
-    # every oracle-less query is documented as rows-only (non-SQL ops):
-    # only ann_ivf remains — its Spark-ML k-means|| codebook RNG cannot be
-    # reproduced outside Spark (similarity.ann_lsh_topk_oracle docstring)
-    rows_only = set(qs) - set(os_)
-    assert rows_only <= {"ann_ivf_topk"}
+    # every driver entry is oracle-checked (round 5: streaming_ingest,
+    # multimodal_features, ann_lsh_topk and ann_ivf_topk — the last via
+    # the deterministic quantizer — were the final promotions)
+    assert set(os_) == set(qs)
 
 
 @pytest.mark.parametrize(
@@ -78,6 +77,7 @@ def test_every_query_runs_and_oracles_cover(entrymod):
         "robots_filter", "langid_trigram",
         "crawl_rounds", "crawl_extract",
         "streaming_ingest", "multimodal_features", "ann_lsh_topk",
+        "ann_ivf_topk",
     ],
 )
 def test_query_matches_oracle(spark, entrymod, duck, name):
@@ -88,6 +88,10 @@ def test_query_matches_oracle(spark, entrymod, duck, name):
     pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
 
 
-def test_rows_only_queries_return_rows(spark, entrymod):
-    for name in ("ann_ivf_topk",):
-        assert entrymod.queries()[name](spark, SF_DIR).count() > 0
+def test_ann_gate_rows_present(spark, entrymod):
+    """Both ANN entries must carry their (-1, -1, recall, 0) gate row —
+    its absence (recall below the floor) changes the row count the driver
+    records, which is the point of the in-entry gate."""
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        df = entrymod.queries()[name](spark, SF_DIR)
+        assert df.filter("query_id = -1").count() == 1

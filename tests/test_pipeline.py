@@ -132,6 +132,30 @@ class TestSimilarity:
         again = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(emb).collect()}
         assert approx == again
 
+    def test_ann_ivf_det_recall_floor_and_determinism(self, emb):
+        """The DETERMINISTIC quantizer variant (md5-seeded init + rounded
+        Lloyd's — the driver-entry path, oracle-checked) must clear the
+        same 0.8 floor and be partitioning-independent: the same rows
+        regardless of input layout."""
+        from macocu_crawler_spark.pipeline.similarity import (
+            ann_bruteforce_topk,
+            ann_ivf_det_topk,
+        )
+
+        exact = {
+            (r.query_id, r.neighbor_id) for r in ann_bruteforce_topk(emb).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id) for r in ann_ivf_det_topk(emb).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"det-IVF recall {recall:.2f} below 0.8 floor"
+        again = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_ivf_det_topk(emb.repartition(7)).collect()
+        }
+        assert approx == again
+
     def test_ann_lsh_recall_column(self, emb):
         """ann_lsh_with_recall rows carry per-query recall@k; the mean must
         clear the same floor (this is the form the driver grades)."""

@@ -81,6 +81,21 @@ class TestArcRoundTrip:
         with open(os.path.join(out, files[0]), "rb") as f:
             assert f.read() == b"attempt-99 payload xxxx"  # last attempt, whole
         assert glob.glob(f"{out}/.part-*") == []
+        # the dead-temp sweep is AGE-GATED: an hours-old temp (attempt died
+        # between write and rename) is reclaimed, but a fresh sibling temp
+        # — possibly a LIVE speculative attempt about to rename — survives
+        dead = os.path.join(out, ".part-7-00003.attempt-13.arc.gz")
+        live = os.path.join(out, ".part-7-00003.attempt-77.arc.gz")
+        for p in (dead, live):
+            with open(p, "wb") as f:
+                f.write(b"x")
+        os.utime(dead, (1, 1))  # epoch-old mtime
+        with mock.patch.object(
+            wpage, "_task_part_id", return_value=("7-00003", "7-00003.attempt-100")
+        ):
+            wpage._atomic_write(out, ".arc.gz", b"attempt-100 payload")
+        assert not os.path.exists(dead)
+        assert os.path.exists(live)
 
     def test_write_read_warc(self, spark, pages, tmp_path):
         """WARC/1.0 export round trip: byte-identical payloads, preserved

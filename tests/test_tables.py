@@ -30,6 +30,27 @@ def test_truncate_after_hides_stale_versions(spark, catalog):
     assert catalog.read(spark, "t").count() == 1
 
 
+def test_expire_snapshots_protects_live_pin(spark, catalog):
+    """Expiry drops all but the newest keep_last versions EXCEPT the
+    caller's protected version — the one a live DataFrame plan still
+    scans; a protected-version read must keep working after expiry, and
+    intermediate commit-only snapshots between the pin and the newest are
+    expired normally."""
+    for v in (0, 2, 4, 5):
+        catalog.write("t", spark.range(v + 1), version=v)
+    live = catalog.read(spark, "t", version=0)  # the 'pinned' live plan
+    expired = catalog.expire_snapshots("t", keep_last=2, protect=0)
+    assert expired == [2]
+    assert catalog.versions("t") == [0, 4, 5]
+    assert live.count() == 1  # the protected files are still on disk
+    # with no protection, plain newest-N retention applies
+    expired2 = catalog.expire_snapshots("t", keep_last=2)
+    assert expired2 == [0]
+    assert catalog.versions("t") == [4, 5]
+    with pytest.raises(ValueError):
+        catalog.expire_snapshots("t", keep_last=1)
+
+
 def test_per_partition_lineage_recorded(spark, catalog):
     """Every committed snapshot carries one lineage entry per data file
     with its row count (north rule: per-partition lineage + metrics)."""
