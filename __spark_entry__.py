@@ -828,8 +828,11 @@ def _multimodal_expected_path() -> str:
         key_h.update(repr((r[0], r[1])).encode())
         key_h.update(bytes(r[2]))
     key_h.update(repr(FEATURE_DIM).encode())
-    # the expectation is computed BY the decoders — key their code too
-    key_h.update(_kernel_code_bytes(_mm_mod))
+    # the expectation is computed BY the decoders and rounded by
+    # similarity.F_round_half_up — key both modules' code
+    from macocu_crawler_spark.pipeline import similarity as _sim_pipe
+
+    key_h.update(_kernel_code_bytes(_mm_mod, _sim_pipe))
     out = f"/tmp/macocu-multimodal-expected-{key_h.hexdigest()[:16]}.parquet"
     if not os.path.exists(out):
         ids, kinds, sizes, dims, sums = [], [], [], [], []
@@ -896,20 +899,25 @@ def q_ann_lsh(spark, sf):
     return df.unionByName(gate)
 
 
-def _ann_ivf_expected_path(n_queries=10, k=5, n_cells=8, n_probe=5, n_iter=10) -> str:
+def _ann_ivf_expected_path(
+    n_queries=10, k=5, n_cells=8, n_probe=5, n_iter=10, n_train=65536
+) -> str:
     """Expected ann_ivf_det_topk output (+ the recall gate row) for EVERY
     testdata sf, computed by a plain-Python replica of the deterministic
-    IVF (similarity.ivf_det_codebook / ann_ivf_det_topk) — md5-seeded
-    init, 4-decimal HALF_UP rounding of every assignment distance,
-    centroid component and cosine, argmin ties to the smallest cell.
+    IVF (similarity.ivf_det_codebook / ann_ivf_det_topk) — md5-ordered
+    bounded training sample, 4-decimal HALF_UP rounding of every
+    assignment distance, centroid component and cosine, argmin ties to
+    the smallest cell.
 
     Bit-equality contract: every quantity Spark computes as an ORDERED
     fold (norms, distances, dots) is reproduced here with a left-to-right
-    Python loop — identical IEEE op sequence, identical bits; the one
-    unordered aggregate (the distributed centroid mean) is fixed-point on
-    both sides — per-row 1e-6 quantisation to longs, whose sums are
-    exactly associative, then one double division — so reduce order
-    cannot produce even a last-bit difference.  Rounding uses
+    Python loop — identical IEEE op sequence, identical bits; the
+    codebook trainer is driver-side in the engine too (Lloyd's on the
+    md5-ordered sample), but this replica keeps its OWN independent loop
+    rather than importing the engine's, and the centroid mean stays
+    fixed-point on both sides — per-vector 1e-6 quantisation to ints,
+    whose sums are exactly associative — so member order cannot produce
+    even a last-bit difference.  Rounding uses
     similarity.F_round_half_up (decimal HALF_UP on repr, the BigDecimal
     semantic of Spark's F.round) — Python's round() is banker's and would
     diverge on exact ties.
@@ -933,7 +941,7 @@ def _ann_ivf_expected_path(n_queries=10, k=5, n_cells=8, n_probe=5, n_iter=10) -
     for f in files:
         with open(f, "rb") as fh:
             key_h.update(hashlib.md5(fh.read()).digest())
-    key_h.update(repr((n_queries, k, n_cells, n_probe, n_iter)).encode())
+    key_h.update(repr((n_queries, k, n_cells, n_probe, n_iter, n_train)).encode())
     # the expectation replicates similarity's det-IVF — key both codes
     import inspect
 
@@ -974,10 +982,13 @@ def _ann_ivf_expected_path(n_queries=10, k=5, n_cells=8, n_probe=5, n_iter=10) -
             range(n_vecs),
             key=lambda j: (hashlib.md5(str(ids[j]).encode()).hexdigest(), ids[j]),
         )
-        # like Spark's .limit(n_cells): fewer vectors than cells → fewer
-        # cells (zero-norm embeddings stay out of contract on both sides:
-        # the embeddings tables carry non-degenerate vectors)
-        centroids = [[r(x, 4) for x in units[j]] for j in order[:n_cells]]
+        # like Spark's .limit(): fewer vectors than cells → fewer cells
+        # (zero-norm embeddings stay out of contract on both sides: the
+        # embeddings tables carry non-degenerate vectors).  Training is
+        # bounded to the first n_train of the SAME md5 order, mirroring
+        # ivf_det_codebook's sample contract (all rows at testdata scale)
+        train = order[:n_train]
+        centroids = [[r(x, 4) for x in units[j]] for j in train[:n_cells]]
         cells = range(len(centroids))
 
         def d2_of(u, c):  # ordered fold of (a-b)^2, rounded like Spark
@@ -988,9 +999,12 @@ def _ann_ivf_expected_path(n_queries=10, k=5, n_cells=8, n_probe=5, n_iter=10) -
             return r(acc, 4)
 
         dim = len(embs[0])
+        # iteration-invariant fixed-point quantisation, hoisted exactly
+        # as lloyd_fixed_point hoists it (same values either way)
+        scaled = {j: [int(r(x * 1e6, 0)) for x in units[j]] for j in train}
         for _ in range(n_iter):
             members: list[list[int]] = [[] for _ in cells]
-            for j in range(n_vecs):
+            for j in train:
                 best = min(
                     (d2_of(units[j], centroids[cell]), cell)
                     for cell in cells
@@ -999,11 +1013,11 @@ def _ann_ivf_expected_path(n_queries=10, k=5, n_cells=8, n_probe=5, n_iter=10) -
             for cell in cells:
                 if members[cell]:
                     m = len(members[cell])
-                    # fixed-point mean (exact long sums ≡ Spark's
-                    # sum(cast(round(val*1e6, 0) as long)) / (1e6 * count))
+                    # fixed-point mean (exact int sums — member order
+                    # cannot matter)
                     centroids[cell] = [
                         r(float(sum(
-                            int(r(units[j][p] * 1e6, 0)) for j in members[cell]
+                            scaled[j][p] for j in members[cell]
                         )) / (1e6 * m), 4)
                         for p in range(dim)
                     ]

@@ -384,111 +384,160 @@ UNION ALL SELECT * FROM gate
 def _unit_col(emb: str = "embedding"):
     """L2-normalised double copy of an embedding column.  The norm is an
     ORDERED left fold (F.aggregate), so a single-node replica that sums in
-    list order reproduces it bit-for-bit."""
+    list order reproduces it bit-for-bit.
+
+    The norm is routed through array_repeat + zip_with instead of being
+    referenced inside a transform() lambda: a lambda body is evaluated
+    per ELEMENT, and Catalyst's projection collapsing inlines the alias,
+    so the naive form recomputes the O(dim) norm fold dim times per row —
+    O(dim^2), measured as the dominant cost of the det-IVF search
+    projection.  array_repeat evaluates the norm ONCE per row; the
+    per-element division (x / norm) is the identical IEEE op."""
     v = F.col(emb).cast("array<double>")
     norm = F.sqrt(
         F.aggregate(v, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
     )
-    return F.transform(v, lambda x: x / norm)
-
-
-def ivf_det_codebook(
-    embeddings: DataFrame, n_cells: int = 8, n_iter: int = 10
-) -> list[list[float]]:
-    """Deterministic Lloyd's k-means codebook over the unit sphere — the
-    engine-reproducible alternative to Spark ML's k-means|| (whose RNG
-    stream no other engine can replay).  No RNG anywhere:
-
-    - init: the ``n_cells`` vectors with the smallest md5(vec_id) — a
-      hash-spread sample of the data, reproducible from the table alone
-    - every assignment distance and every centroid component is rounded to
-      4 decimals (HALF_UP on both engines) BEFORE use, and the ONE
-      unordered aggregate in the algorithm — the distributed centroid
-      mean — is computed in FIXED POINT: each component is quantised to a
-      long at 1e-6 per row, and long sums are exactly associative, so the
-      mean is bit-identical under any partitioning or reduce order (a
-      float sum + rounding would still flake on values adjacent to a
-      rounding boundary); argmin ties go to the smallest cell id
-    - fixed ``n_iter`` Lloyd iterations (no convergence test — another
-      hidden nondeterminism source)
-
-    Each iteration is one broadcast-join assignment pass plus one
-    (cell, dim)-keyed mean (map-side combined); only the n_cells × dim
-    centroid table ever reaches the driver — the same driver-side footprint
-    as Spark ML's model.clusterCenters().  At 10^9 vectors, train on a
-    bounded sample (``embeddings.limit(...)``) exactly as ML pipelines do;
-    assignment of the full table stays distributed in ann_ivf_det_topk."""
-    vecs = embeddings.select("vec_id", _unit_col().alias("unit")).cache()
-    init_rows = (
-        vecs.select(
-            "vec_id", "unit",
-            F.md5(F.col("vec_id").cast("string").cast("binary")).alias("h"),
-        )
-        .orderBy("h", "vec_id")
-        .limit(n_cells)
-        .collect()
+    return F.zip_with(
+        v, F.array_repeat(norm, F.size(v)), lambda x, n: x / n
     )
-    centroids = [
-        [float(F_round_half_up(x, 4)) for x in r.unit] for r in init_rows
-    ]
-    dim = len(centroids[0])
-    spark = embeddings.sparkSession
-    for _ in range(n_iter):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
-            "cell int, center array<double>",
-        )
-        d2 = F.round(
+
+
+def _cell_rank_pairs(centroids: list[list[float]]):
+    """array<struct<d2,cell>> of the rounded squared distance from the
+    row's ``unit`` vector to each LITERAL centroid, paired with the cell
+    id.  Struct comparison is field-order lexicographic, so
+    F.array_min(...) is argmin with ties to the smallest cell and
+    F.slice(F.array_sort(...), 1, p) is the p nearest cells — all
+    row-local (whole-stage-codegen projection, no join, no shuffle).  The
+    distance is the same ordered (a-b)^2 fold, rounded to 4 decimals
+    HALF_UP, that the plain-Python oracle replica computes."""
+    # one F.expr round trip instead of n_cells × dim F.lit py4j calls
+    # (the calls alone cost ~0.5 s per iteration at 8×64); repr is the
+    # shortest round-trip decimal form, and the D suffix makes Spark
+    # parse it with Double.parseDouble — the exact same double back
+    cents = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+            for c in centroids
+        ) + ")"
+    )
+    d2s = F.transform(
+        cents,
+        lambda cen: F.round(
             F.aggregate(
-                F.zip_with(F.col("unit"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+                F.zip_with(F.col("unit"), cen, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0).cast("double"),
                 lambda acc, v: acc + v,
             ),
             4,
-        )
-        assigned = (
-            vecs.crossJoin(F.broadcast(cdf))
-            .withColumn("d2", d2)
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct("d2", "cell")).alias("m"),
-                F.first("unit").alias("unit"),  # constant within the group
-            )
-            .select(F.col("m.cell").alias("cell"), "unit")
-        )
-        means = (
-            assigned.select("cell", F.posexplode("unit").alias("pos", "val"))
-            .withColumn(
-                "scaled", F.round(F.col("val") * 1e6, 0).cast("long")
-            )
-            .groupBy("cell", "pos")
-            .agg(
-                F.round(
-                    F.sum("scaled") / (F.lit(1e6) * F.count("*")), 4
-                ).alias("m")
-            )
-            .collect()
-        )
-        new_centroids = [list(c) for c in centroids]  # empty cells keep old
-        by_cell: dict[int, list] = {}
-        for r in means:
-            by_cell.setdefault(r.cell, [None] * dim)[r.pos] = r.m
-        for cell, comps in by_cell.items():
-            new_centroids[cell] = [float(x) for x in comps]
-        centroids = new_centroids
-    vecs.unpersist()
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    return F.zip_with(
+        d2s, idx, lambda d, i: F.struct(d.alias("d2"), i.alias("cell"))
+    )
+
+
+def lloyd_fixed_point(
+    units: list[list[float]], n_cells: int, n_iter: int
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over pre-ordered unit vectors — the
+    single-node trainer behind ivf_det_codebook.  No RNG anywhere:
+
+    - init: the first ``n_cells`` vectors of the given order (the caller
+      orders by md5(vec_id) — a hash-spread sample reproducible from the
+      table alone)
+    - every assignment distance and every centroid component is rounded
+      to 4 decimals (decimal HALF_UP via F_round_half_up, Spark's F.round
+      semantic) BEFORE use; argmin ties go to the smallest cell id
+    - the centroid mean is FIXED POINT: each component quantised to an
+      int at 1e-6 per vector, and int sums are exactly associative, so
+      the mean is independent of summation order by construction
+    - fixed ``n_iter`` iterations (no convergence test — another hidden
+      nondeterminism source); empty cells keep their previous centroid
+
+    Every op is an ordered left fold or an exact int sum, so any replica
+    that processes the same vectors in the same order reproduces the
+    centroids bit-for-bit."""
+    r = F_round_half_up
+    centroids = [[r(x, 4) for x in u] for u in units[:n_cells]]
+    dim = len(units[0]) if units else 0
+    # the 1e-6 quantisation of each component is iteration-invariant —
+    # hoist it (a Decimal op per component per iteration otherwise
+    # dominates the whole trainer)
+    scaled = [[int(r(x * 1e6, 0)) for x in u] for u in units]
+
+    def d2_of(u, c):  # ordered fold of (a-b)^2, rounded like F.round
+        acc = 0.0
+        for a, b in zip(u, c):
+            d = a - b
+            acc = acc + d * d
+        return r(acc, 4)
+
+    cells = range(len(centroids))
+    for _ in range(n_iter):
+        members: list[list[int]] = [[] for _ in cells]
+        for j, u in enumerate(units):
+            best = min((d2_of(u, centroids[cell]), cell) for cell in cells)
+            members[best[1]].append(j)
+        for cell in cells:
+            if members[cell]:
+                m = len(members[cell])
+                centroids[cell] = [
+                    r(float(sum(scaled[j][p] for j in members[cell]))
+                      / (1e6 * m), 4)
+                    for p in range(dim)
+                ]
     return centroids
+
+
+def ivf_det_codebook(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 10,
+    n_train: int = 65536,
+) -> list[list[float]]:
+    """Deterministic IVF codebook — the engine-reproducible alternative to
+    Spark ML's k-means|| (whose RNG stream no other engine can replay).
+    One Spark job collects the training sample: the ``n_train`` vectors
+    with the smallest md5(vec_id) (TakeOrdered — per-partition top-k then
+    a driver merge, never a global sort), L2-normalised JVM-side by the
+    same ordered-fold expression the search uses; Lloyd's then runs
+    driver-side on that bounded sample (lloyd_fixed_point) — the standard
+    ML-pipeline shape for clustering at scale (sample → train locally →
+    broadcast the model), and the deterministic counterpart of
+    ML's model.clusterCenters() driver-side footprint.  At 10^9 vectors
+    the sample is still ``n_train`` × dim (tens of MB); assignment and
+    search of the FULL table stay distributed in ann_ivf_det_topk (and
+    are what the driver's value-hash oracle checks against an independent
+    replica)."""
+    rows = (
+        embeddings.select(
+            "vec_id",
+            _unit_col().alias("unit"),
+            F.md5(F.col("vec_id").cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_train)
+        .collect()
+    )
+    units = [[float(x) for x in r.unit] for r in rows]
+    return lloyd_fixed_point(units, n_cells=n_cells, n_iter=n_iter)
 
 
 def F_round_half_up(x: float, n: int) -> float:
     """Python replica of Spark's F.round / java BigDecimal.valueOf(x)
     .setScale(n, HALF_UP): decimal HALF_UP on the shortest string form of
-    the double (Double.toString ≡ repr)."""
+    the double (Double.toString ≡ repr).  The ``+ 0.0`` normalises -0.0
+    to 0.0 — java.math.BigDecimal has no signed zero, so F.round never
+    returns -0.0 while Python's Decimal preserves the sign (e.g.
+    round(-0.00395, 0): Spark 0.0, naive Decimal -0.0 — caught by the
+    bit-differential test, TestRoundHalfUpDifferential)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(Decimal(repr(float(x))).quantize(
         Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP
-    ))
+    )) + 0.0
 
 
 def ann_ivf_det_topk(
@@ -500,65 +549,51 @@ def ann_ivf_det_topk(
     n_iter: int = 10,
 ) -> DataFrame:
     """ann_ivf_topk with the DETERMINISTIC codebook (ivf_det_codebook)
-    instead of Spark ML k-means|| — identical plan shape (broadcast
-    centroids, per-cell equi-join search), but every step is reproducible
-    by a single-node replica, so the driver entry can carry a full DuckDB
+    instead of Spark ML k-means|| — every step is reproducible by a
+    single-node replica, so the driver entry can carry a full DuckDB
     value-hash oracle (the ML variant stays available as ann_ivf_topk).
-    Assignment and probe ranking use the same rounded (4-decimal HALF_UP)
-    distances as the codebook build; cosines are rounded to 4 before
-    ranking, ties to the smallest neighbor_id."""
-    spark = embeddings.sparkSession
+    Assignment and probe ranking reuse the codebook's literal-centroid
+    array expression (_cell_rank_pairs): cell assignment is a row-local
+    argmin projection over the full table (no shuffle), the n_probe
+    nearest cells per query come from a row-local array_sort+slice, and
+    the search itself broadcasts the (n_queries × n_probe)-row probe list
+    against the assigned table — at 10^9 vectors the big side never
+    exchanges; only the ~n_probe/n_cells share of candidate rows shuffles
+    into the per-query top-k window.  Cosines are rounded to 4 before
+    ranking, ties to the smallest neighbor_id.  A neighbor appears at
+    most once per query by construction (one cell per neighbor, distinct
+    probed cells), so no dedup pass is needed."""
     centroids = ivf_det_codebook(embeddings, n_cells=n_cells, n_iter=n_iter)
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, center array<double>"
-    )
+    pairs = _cell_rank_pairs(centroids)
     vecs = embeddings.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("embedding"),
         _unit_col().alias("unit"),
     )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("unit"), F.col("center"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        ),
-        4,
-    )
-    scored = vecs.crossJoin(F.broadcast(cdf)).withColumn("d2", d2)
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("d2", "cell")).alias("m"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", "embedding", F.col("m.cell").alias("cell"))
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("cell").asc()
+    assigned = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ec"),
+        F.array_min(pairs)["cell"].alias("cell"),
     )
     q = (
-        scored.filter(F.col("vec_id") < n_queries)
+        vecs.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("eq"),
-            "cell",
-            "d2",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(pairs), 1, n_probe),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
         )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= n_probe)
-        .select("query_id", "eq", "cell")
-    )
-    c = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"), "cell"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        q.join(c, "cell")
+        F.broadcast(q).join(assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", F.round(_cos("eq", "ec"), 4))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -97,6 +97,48 @@ class TestDedup:
         assert pairs0.filter(F.col("doc_b") >= 300000).first().hamming == 0
 
 
+class TestRoundHalfUpDifferential:
+    def test_matches_spark_round_bitwise(self, spark):
+        """similarity.F_round_half_up claims to be a bit-exact replica of
+        Spark's F.round (java BigDecimal.valueOf(x).setScale(n, HALF_UP)) —
+        the ann_ivf_topk and multimodal_features oracles ride on that
+        equivalence, so prove it differentially: Spark rounds a column of
+        adversarial doubles, Python rounds the same values, results must
+        be IDENTICAL BITS.  Adversarial set: exact decimal ties at the
+        target scale (x.xxxx5 — where banker's rounding would diverge),
+        tie-adjacent neighbours via nextafter, negatives (HALF_UP must go
+        away from zero), magnitudes spanning 1e-8..1e8, and seeded random
+        uniforms; scales 0 and 4 (the two the oracles use)."""
+        import math
+        import random
+        import struct
+
+        from macocu_crawler_spark.pipeline.similarity import F_round_half_up
+
+        rng = random.Random(20260817)
+        vals: list[float] = []
+        for k in range(-40, 40):
+            tie = k * 1e-4 + 5e-5  # repr may or may not land on ...5
+            vals += [tie, math.nextafter(tie, -math.inf),
+                     math.nextafter(tie, math.inf)]
+        # exact decimal ties (constructed in decimal, so repr ends in 5)
+        vals += [float(f"{s}{i}.{frac:04d}5") for s in ("", "-")
+                 for i in (0, 1, 7) for frac in (0, 1, 2499, 5000, 9999)]
+        vals += [k * 0.5 for k in range(-21, 21)]  # scale-0 .5 ties
+        vals += [rng.uniform(-1, 1) * 10 ** rng.randint(-8, 8)
+                 for _ in range(2000)]
+        for scale in (0, 4):
+            df = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vals)], "i long, x double"
+            ).select("i", F.round("x", scale).alias("r"))
+            got = {r.i: r.r for r in df.collect()}
+            for i, v in enumerate(vals):
+                mine = F_round_half_up(v, scale)
+                assert struct.pack("<d", got[i]) == struct.pack("<d", mine), (
+                    scale, v, got[i], mine
+                )
+
+
 class TestSimilarity:
     def test_ann_lsh_recall_floor(self, emb):
         """Quality gate (VERDICT r1 #5): multi-table LSH ANN must recover
