@@ -273,6 +273,27 @@ class TestBucketedSeenPlan:
             spark.sql("DROP TABLE IF EXISTS url_seen_bkt_append_test")
 
 
+class TestAnnIvfPlanShape:
+    def test_search_broadcasts_queries_never_shuffles_the_table(self, spark):
+        """The det-IVF search at 10^9 vectors: the full embeddings side
+        must stay a scan + row-local projection (literal-centroid argmin
+        assignment) probed by a BroadcastHashJoin whose BUILD side is the
+        tiny queries×probes list — the big side never exchanges.  The
+        single hash Exchange in the plan is the keyed per-query top-k
+        window over candidate rows (~n_probe/n_cells of the table), which
+        is the operator's output, not a table reshuffle."""
+        from macocu_crawler_spark.pipeline.similarity import ann_ivf_det_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        ps = _plan(ann_ivf_det_topk(emb))
+        assert "BroadcastHashJoin" in ps, ps
+        assert ps.count("Exchange hashpartitioning") == 1, ps
+        # the broadcast build side is the filtered query list (its
+        # vec_id < n_queries filter reaches the parquet scan), not the table
+        assert "BroadcastExchange" in ps, ps
+        assert "LessThan(vec_id,10)" in ps, ps
+
+
 class TestNoUnkeyedWindowsAnywhere:
     """Repo-wide window policy (VERDICT r3 #6): NO driver entry may plan an
     unkeyed (single-partition) window over unbounded input.  Unkeyed
