@@ -900,7 +900,7 @@ def q_ann_lsh(spark, sf):
 
 
 def _ann_ivf_expected_path(
-    n_queries=10, k=5, n_cells=8, n_probe=5, n_iter=10, n_train=65536
+    n_queries=10, k=5, n_cells=8, n_probe=5, n_iter=10, n_train=4096
 ) -> str:
     """Expected ann_ivf_det_topk output (+ the recall gate row) for EVERY
     testdata sf, computed by a plain-Python replica of the deterministic
@@ -1098,7 +1098,9 @@ def q_ann_ivf(spark, sf, n_queries=10, k=5):
     against the plain-Python replica (_ann_ivf_expected_path); the Spark-ML
     k-means|| variant stays in the library as similarity.ann_ivf_topk."""
     emb = _emb(spark, sf)
-    ivf = similarity.ann_ivf_det_topk(emb, n_queries=n_queries, k=k)
+    # cached: feeds both the gate aggregate and the final union — without
+    # it one action runs the broadcast search twice (n_queries × k rows)
+    ivf = similarity.ann_ivf_det_topk(emb, n_queries=n_queries, k=k).cache()
     bf = similarity.ann_bruteforce_topk(emb, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )

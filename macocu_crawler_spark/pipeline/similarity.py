@@ -75,7 +75,10 @@ def cosine_pairs_lsh(
     Pairs that straddle a hyperplane are missed by design (recall/cost
     trade — use more planes/tables per ann_lsh_topk for higher recall)."""
     b = embeddings.select(
-        "vec_id", "embedding", lsh_bucket_col(n_planes=n_planes).alias("bucket")
+        "vec_id", "embedding",
+        lsh_bucket_col(
+            n_planes=n_planes, dim=_emb_dim(embeddings)
+        ).alias("bucket"),
     )
     a = b.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
@@ -163,18 +166,60 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """
 
 
-def lsh_bucket_col(emb: str = "embedding", n_planes: int = 4, table: int = 0):
+def _emb_dim(embeddings: DataFrame, emb: str = "embedding") -> int | None:
+    """Probe the embedding dimension (one limit-1 job) so bucket signs can
+    be precomputed driver-side; None on an empty table (callers fall back
+    to the row-dependent sign derivation)."""
+    row = embeddings.select(emb).first()
+    return len(row[0]) if row is not None and row[0] is not None else None
+
+
+def lsh_plane_signs(n_planes: int, table: int, dim: int) -> list[list[float]]:
+    """The deterministic {-1.0, +1.0} normal of plane ``p`` in hash table
+    ``table``: component i is md5('table:p:i') first hex char, odd→+1 —
+    exactly the derivation lsh_bucket_col used to evaluate JVM-side per
+    row, and the one the DuckDB oracle (ann_lsh_topk_oracle) re-derives
+    in SQL, so buckets stay engine-reproducible."""
+    import hashlib
+
+    return [
+        [
+            float((ord(hashlib.md5(
+                f"{table}:{p}:{i}".encode()
+            ).hexdigest()[0]) % 2) * 2 - 1)
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_col(
+    emb: str = "embedding", n_planes: int = 4, table: int = 0,
+    dim: int | None = None,
+):
     """Deterministic sign-random-projection bucket: plane p's normal in
-    hash table `table` is derived from md5(table ':' p ':' dim) in
-    {-1, +1} — no RNG, reproducible across engines/runs."""
+    hash table `table` is derived from md5(table ':' p ':' i) in
+    {-1, +1} — no RNG, reproducible across engines/runs.
+
+    When ``dim`` is known the signs are precomputed driver-side
+    (lsh_plane_signs) and embedded as literal arrays — the row-dependent
+    form recomputes an md5 + substring + ascii PER COMPONENT PER ROW
+    (size() blocks constant folding), measured as the dominant cost of
+    the LSH search at 4 tables × 4 planes × dim 64.  Values are
+    identical either way; callers that know the table's dimension should
+    pass it."""
     bucket = F.lit(0)
+    signs = lsh_plane_signs(n_planes, table, dim) if dim is not None else None
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(emb),
-                F.transform(
-                    F.sequence(F.lit(0), F.size(F.col(emb)) - 1),
-                    lambda i: (
+        if signs is not None:
+            plane = F.expr(
+                "array(" + ",".join(repr(s) + "D" for s in signs[p]) + ")"
+            )
+        else:
+            plane = F.transform(
+                F.sequence(F.lit(0), F.size(F.col(emb)) - 1),
+                lambda i: (
+                    (
                         F.ascii(
                             F.substring(
                                 F.md5(
@@ -188,10 +233,11 @@ def lsh_bucket_col(emb: str = "embedding", n_planes: int = 4, table: int = 0):
                         % 2
                     )
                     * 2
-                    - 1,
-                ),
-                lambda x, s: x * s.cast("double"),
-            ),
+                    - 1
+                ).cast("double"),
+            )
+        proj = F.aggregate(
+            F.zip_with(F.col(emb), plane, lambda x, s: x * s),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
@@ -220,13 +266,16 @@ def ann_lsh_topk(
     Recall ≥ 0.8 vs ann_bruteforce_topk is enforced in
     tests/test_pipeline.py and carried as a column by ann_lsh_with_recall.
     """
+    dim = _emb_dim(embeddings)
     per_table = []
     for t in range(n_tables):
         per_table.append(
             embeddings.select(
                 "vec_id", "embedding",
                 F.lit(t).alias("table"),
-                lsh_bucket_col(n_planes=n_planes, table=t).alias("bucket"),
+                lsh_bucket_col(
+                    n_planes=n_planes, table=t, dim=dim
+                ).alias("bucket"),
             )
         )
     bucketed = per_table[0]
@@ -270,8 +319,13 @@ def ann_lsh_with_recall(
 ) -> DataFrame:
     """ann_lsh_topk rows carrying their own quality gate: per-query
     recall@k vs the exact brute-force baseline as a column, so the driver's
-    rows-only check sees the quality floor (VERDICT r1 #5)."""
-    lsh = ann_lsh_topk(embeddings, n_queries=n_queries, k=k)
+    rows-only check sees the quality floor (VERDICT r1 #5).
+
+    The LSH result is cached: it feeds both the recall aggregate and the
+    final join, and without the cache each action runs the whole
+    multi-table search twice (the cached relation is n_queries × k
+    rows)."""
+    lsh = ann_lsh_topk(embeddings, n_queries=n_queries, k=k).cache()
     bf = ann_bruteforce_topk(embeddings, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
@@ -495,7 +549,7 @@ def ivf_det_codebook(
     embeddings: DataFrame,
     n_cells: int = 8,
     n_iter: int = 10,
-    n_train: int = 65536,
+    n_train: int = 4096,
 ) -> list[list[float]]:
     """Deterministic IVF codebook — the engine-reproducible alternative to
     Spark ML's k-means|| (whose RNG stream no other engine can replay).
@@ -507,10 +561,15 @@ def ivf_det_codebook(
     ML-pipeline shape for clustering at scale (sample → train locally →
     broadcast the model), and the deterministic counterpart of
     ML's model.clusterCenters() driver-side footprint.  At 10^9 vectors
-    the sample is still ``n_train`` × dim (tens of MB); assignment and
-    search of the FULL table stay distributed in ann_ivf_det_topk (and
-    are what the driver's value-hash oracle checks against an independent
-    replica)."""
+    the sample is still ``n_train`` × dim; assignment and search of the
+    FULL table stay distributed in ann_ivf_det_topk (and are what the
+    driver's value-hash oracle checks against an independent replica).
+
+    The default n_train is sized for the pure-Python trainer: its exact
+    arithmetic (ordered folds + decimal HALF_UP per distance, the price
+    of engine-reproducibility) costs O(n_train × n_cells × n_iter) d2
+    evaluations — ~3 s at 4096×8×10.  Raising n_cells for a bigger
+    codebook warrants raising n_train with it (≥ ~500 vectors/cell)."""
     rows = (
         embeddings.select(
             "vec_id",
