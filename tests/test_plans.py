@@ -294,6 +294,20 @@ class TestAnnIvfPlanShape:
         assert "LessThan(vec_id,10)" in ps, ps
 
 
+class TestAnnLshPlanShape:
+    def test_known_dim_plan_carries_no_per_row_hash_derivation(self, spark):
+        """With the embedding dimension known, the hyperplane signs are
+        literals — the physical plan must contain NO md5 (the row-dependent
+        fallback derives every plane component with an md5 + substring +
+        ascii per row, ~2M hash calls per pass at 4 tables × 4 planes ×
+        dim 64, measured dominant before the fix)."""
+        from macocu_crawler_spark.pipeline.similarity import ann_lsh_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        ps = _plan(ann_lsh_topk(emb))
+        assert "md5" not in ps, ps
+
+
 class TestNoUnkeyedWindowsAnywhere:
     """Repo-wide window policy (VERDICT r3 #6): NO driver entry may plan an
     unkeyed (single-partition) window over unbounded input.  Unkeyed
