@@ -361,6 +361,78 @@ def run_bloom_bench(n_seen: int = 10_000_000, n_probe: int = 1_000_000) -> dict:
         spark.stop()
 
 
+def run_cuckoo_bench(n_seen: int = 10_000_000, n_probe: int = 1_000_000) -> dict:
+    """The cuckoo prefilter at the same 10^7-key scale as run_bloom_bench:
+    distributed build, probe throughput, vectorized increment, and a
+    dead-host delete of 10^5 keys (the capability the Bloom lacks)."""
+    import pyspark.sql.functions as F
+
+    from macocu_crawler_spark.operators.urlseen import (
+        CuckooState,
+        filter_new_candidates,
+    )
+
+    spark = make_spark(CPUS)
+    try:
+        def seen_df(start: int, n: int):
+            return (
+                spark.range(start, start + n)
+                .select(
+                    F.lit("http").alias("scheme"),
+                    F.concat(F.lit("h"), F.col("id") % 100_000).alias("host"),
+                    F.concat(F.lit("/p"), F.col("id")).alias("path_sanitised"),
+                )
+                .repartition(CPUS * 2)
+            )
+
+        seen = seen_df(0, n_seen).cache()
+        seen.count()
+        t0 = time.time()
+        state = CuckooState.from_url_seen(seen)
+        build_sec = time.time() - t0
+        cand = (
+            seen_df(n_seen - n_probe // 2, n_probe)
+            .withColumn("path", F.col("path_sanitised"))
+            .cache()
+        )
+        cand.count()
+        bc = state.broadcast_map(spark.sparkContext)
+        t0 = time.time()
+        n_new = filter_new_candidates(
+            cand, seen, bloom_map_bc=bc, kind="cuckoo"
+        ).count()
+        probe_sec = time.time() - t0
+        inc = seen_df(n_seen + n_probe, 1_000_000).cache()
+        inc.count()
+        t0 = time.time()
+        state.add_new_seen(inc)
+        inc_sec = time.time() - t0
+        gone = seen_df(0, 100_000)
+        t0 = time.time()
+        n_removed = state.remove_seen(gone)
+        del_sec = time.time() - t0
+        over = state.over_capacity()
+        log(f"cuckoo: build {build_sec:.1f}s, probe {probe_sec:.1f}s, "
+            f"inc {inc_sec:.2f}s, delete 1e5 {del_sec:.2f}s "
+            f"(removed {n_removed}), over_capacity={over}")
+        return {
+            "seen_keys": n_seen,
+            "probe_candidates": n_probe,
+            "probe_new": n_new,
+            "build_sec": round(build_sec, 2),
+            "probe_sec": round(probe_sec, 2),
+            "probe_urls_per_sec": round(n_probe / probe_sec, 0),
+            "increment_keys": 1_000_000,
+            "increment_vectorized_sec": round(inc_sec, 2),
+            "delete_keys": 100_000,
+            "delete_removed": n_removed,
+            "delete_sec": round(del_sec, 2),
+            "over_capacity_triggered": over,
+        }
+    finally:
+        spark.stop()
+
+
 def run_skew_bench(n_hot: int = 1_000_000, n_cold_hosts: int = 2000,
                    rows_per_cold: int = 100) -> dict:
     """Hot-host skew: one host with 10^6 frontier rows among 2000 cold
@@ -1001,6 +1073,7 @@ def main() -> None:
         sizes=(2_000_000, 8_000_000, 32_000_000) if full else (2_000_000,)
     )
     bloom = run_bloom_bench() if full else None
+    cuckoo = run_cuckoo_bench() if full else None
     seen_join = run_seen_join_bench() if full else None
     seen_compaction = run_seen_compaction_bench() if full else None
     skew = run_skew_bench()
@@ -1046,6 +1119,8 @@ def main() -> None:
     })
     if bloom is not None:
         detail["bloom_at_1e7"] = bloom
+    if cuckoo is not None:
+        detail["cuckoo_at_1e7"] = cuckoo
     if seen_join is not None:
         detail["seen_join_at_1e7"] = seen_join
     if seen_compaction is not None:

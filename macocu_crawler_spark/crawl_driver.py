@@ -299,15 +299,21 @@ class CrawlDriver:
         # the remaining state tables are empty at init — they stay
         # in-memory and hit the catalog at the first commit()
 
+    def _prefilter_cls(self):
+        from .operators.urlseen import BloomState, CuckooState
+
+        kind = getattr(self.params, "seen_prefilter", "bloom")
+        return CuckooState if kind == "cuckoo" else BloomState
+
     def _init_bloom(self) -> None:
-        """Incremental Bloom over url_seen (derived state — rebuilt from
-        the table on init/resume/overflow, never checkpointed)."""
+        """Incremental Bloom/cuckoo over url_seen (derived state — rebuilt
+        from the table on init/resume/overflow, never checkpointed).  The
+        family is params.seen_prefilter; both expose the same state API
+        (from_url_seen / add_new_seen / over_capacity / broadcast_map)."""
         old = getattr(self, "_bloom", None)
         self._bloom = None
         if getattr(self.params, "use_bloom_prefilter", False):
-            from .operators.urlseen import BloomState
-
-            self._bloom = BloomState.from_url_seen(self.url_seen)
+            self._bloom = self._prefilter_cls().from_url_seen(self.url_seen)
             self._adopt_bloom_broadcast(old)
         elif old is not None and old._bc is not None:
             old._bc.unpersist(blocking=False)
@@ -725,10 +731,8 @@ class CrawlDriver:
                 mode=getattr(self.params, "bloom_increment_mode", "vectorized"),
             )
             if self._bloom.over_capacity():
-                from .operators.urlseen import BloomState
-
                 old = self._bloom
-                self._bloom = BloomState.from_url_seen(self.url_seen)
+                self._bloom = self._prefilter_cls().from_url_seen(self.url_seen)
                 self._adopt_bloom_broadcast(old)
         docs.unpersist()
         selected.unpersist()
@@ -922,6 +926,11 @@ def main() -> None:
                         help="store the compacted URL-seen set as a bucketed "
                              "table so the exact anti-join never reshuffles "
                              "the seen side")
+    parser.add_argument("--seen-prefilter", default="bloom",
+                        choices=["bloom", "cuckoo"],
+                        help="prefilter family --use-bloom enables: bloom "
+                             "(OR-mergeable, 12 bits/key) or cuckoo "
+                             "(~25x lower FP rate, deletable)")
     args = parser.parse_args()
     fixture_dir = args.fixture_dir
     if fixture_dir is None:
@@ -937,6 +946,7 @@ def main() -> None:
             use_bloom_prefilter=args.use_bloom,
             bloom_increment_mode=args.bloom_increment,
             use_bucketed_seen=args.bucketed_seen,
+            seen_prefilter=args.seen_prefilter,
         )
     driver = CrawlDriver(spark, fixture_dir, workdir, params=params)
     if args.resume:

@@ -145,6 +145,7 @@ def admit_links(
         cand = filter_new_candidates(
             cand, url_seen, bloom_map=bloom_map, bloom_map_bc=bloom_map_bc,
             url_seen_parts=seen_parts,
+            kind=getattr(params, "seen_prefilter", "bloom"),
         )
     else:
         cand = anti_join_seen_parts(cand, seen_parts)

@@ -125,21 +125,27 @@ def filter_new_candidates(
     candidates: DataFrame, url_seen: DataFrame, n_buckets: int = 32,
     blooms: DataFrame | None = None, bloom_map: dict[int, bytes] | None = None,
     bloom_map_bc=None, url_seen_parts: list[DataFrame] | None = None,
+    kind: str = "bloom",
 ) -> DataFrame:
-    """Drop candidates already in url_seen: Bloom pre-filter + exact
+    """Drop candidates already in url_seen: Bloom/cuckoo pre-filter + exact
     anti-join (equivalent to a plain anti-join; tested so).
 
     candidates must carry (scheme, host, path_sanitised).  Pass a cached
     ``blooms`` (from build_blooms) to amortise Bloom construction across
     rounds — on the real system the blooms live in the checkpoint and are
     updated incrementally per round.  Round loops should pass
-    ``bloom_map_bc`` (``BloomState.broadcast_map``) so one executor
+    ``bloom_map_bc`` (``BloomState.broadcast_map`` /
+    ``CuckooState.broadcast_map`` with kind='cuckoo') so one executor
     broadcast is reused across rounds instead of a fresh copy per call.
     """
+    if kind not in ("bloom", "cuckoo"):
+        raise ValueError(f"unknown prefilter kind {kind!r}")
     if bloom_map_bc is None:
         if bloom_map is None:
             if blooms is None:
-                blooms = build_blooms(url_seen, n_buckets)
+                blooms = (build_blooms if kind == "bloom" else build_cuckoos)(
+                    url_seen, n_buckets
+                )
             # the bloom relation is tiny (n_buckets rows); ship it as an
             # executor broadcast VARIABLE, not a join column (see
             # _might_contain_udf).  At 10^10 keys, n_buckets scales with the
@@ -154,7 +160,11 @@ def filter_new_candidates(
             }
         sc = candidates.sparkSession.sparkContext
         bloom_map_bc = sc.broadcast(bloom_map)
-    might = _might_contain_udf(bloom_map_bc)
+    might = (
+        _might_contain_udf(bloom_map_bc)
+        if kind == "bloom"
+        else _cuckoo_might_contain_udf(bloom_map_bc)
+    )
     key = _seen_key(F.col("scheme"), F.col("host"), F.col("path_sanitised"))
     h1c, h2c = _probe_hash_cols(key)
     flagged = (
@@ -400,6 +410,343 @@ class BloomState:
         unpersisted (its dependent round output is pinned by then — the
         driver localCheckpoints round state before the next admission), so
         long crawls hold exactly one live bloom copy per executor."""
+        if self._bc is not None and not self._dirty:
+            return self._bc
+        old = self._bc
+        self._bc = sc.broadcast(self.as_map())
+        self._dirty = False
+        if old is not None:
+            old.unpersist(blocking=False)
+        return self._bc
+
+
+# -- cuckoo filter variant ---------------------------------------------------
+#
+# The north rule names a "partitioned Bloom/cuckoo URL-seen filter"; this is
+# the cuckoo half.  Same integration contract as BloomState (per-host-hash
+# buckets, executor broadcast map, vectorized pandas-UDF probe, exact
+# anti-join stays authoritative), different trade: ~20 bits/key at load 0.8
+# vs the Bloom's 12, but ~25x lower false-positive rate (2 rows x 4 slots x
+# 16-bit fingerprints ~ 1.2e-4 vs ~3e-3) and SUPPORT FOR DELETES — a key
+# retired from the url_seen table (dead-host GC) can be retired from the
+# prefilter too, which a Bloom can never do.
+#
+# Zero-false-negative guarantee (the property admission correctness rides
+# on: a "definitely new" verdict skips the exact join): an insert that still
+# fails after the kick budget goes to a per-bucket OVERFLOW side-list that
+# the probe also checks — never dropped — and over_capacity() then reports
+# the bucket for a distributed rebuild at the next maintenance point,
+# exactly like the Bloom's growth path.
+#
+# Delete safety: duplicates are STORED, never coalesced — so removing one
+# matching (row, fingerprint) entry for a key that was actually inserted
+# can never erase another key's entry (the standard cuckoo-filter deletion
+# argument).  Deleting a key that was never inserted is forbidden (it could
+# evict a real entry and create a false negative); remove_seen is therefore
+# documented for keys leaving the url_seen table itself.
+
+_CK_SLOTS = 4          # fingerprints per row (bucketized cuckoo)
+_CK_LOAD = 0.8         # target load factor at build time
+_CK_MAX_KICKS = 250
+_CK_STARTER_ROWS = 512  # 512 rows x 4 slots ~ 1.6k keys at load 0.8
+_CK_SPREAD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _ck_fp(h1: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprint from the first probe hash (0 = empty)."""
+    return (h1 % np.uint64(0xFFFF)).astype(np.uint16) + np.uint16(1)
+
+
+def _ck_alt_xor(fp: np.ndarray, mask: np.uint64) -> np.ndarray:
+    """The XOR term linking a fingerprint's two candidate rows:
+    i2 = i1 ^ spread(fp).  Works for scalars and arrays; the uint64
+    multiply wraps mod 2^64 BY DESIGN (it's a multiplicative hash) —
+    errstate silences numpy's scalar-overflow warning for the same
+    arithmetic the array path does silently."""
+    with np.errstate(over="ignore"):
+        return ((fp.astype(np.uint64) if hasattr(fp, "astype") else np.uint64(fp))
+                * _CK_SPREAD >> np.uint64(32)) & mask
+
+
+def _ck_rows(h2: np.ndarray, fp: np.ndarray, mask: np.uint64):
+    i1 = (h2 & mask).astype(np.int64)
+    i2 = (i1.view(np.uint64) ^ _ck_alt_xor(fp, mask)).astype(np.int64)
+    return i1, i2
+
+
+class _CuckooTable:
+    """One bucket's table: (n_rows x 4) uint16 fingerprints (0 = empty,
+    rows kept left-compact) plus the overflow side-list of packed
+    (row << 16 | fp) entries."""
+
+    def __init__(self, n_rows: int = _CK_STARTER_ROWS):
+        assert n_rows & (n_rows - 1) == 0, "n_rows must be a power of two"
+        self.table = np.zeros((n_rows, _CK_SLOTS), dtype=np.uint16)
+        self.overflow: list[int] = []
+        self.n_keys = 0
+
+    @property
+    def mask(self) -> np.uint64:
+        return np.uint64(self.table.shape[0] - 1)
+
+    # -- insert ---------------------------------------------------------------
+    def _bulk_place(self, rows: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Place each (row, fp) in the first free slot of its row,
+        vectorized; returns the placed mask.  Rows are left-compact, so
+        occupancy is a count and batch-internal collisions resolve by
+        rank within the sorted group."""
+        order = np.argsort(rows, kind="stable")
+        r_s, f_s = rows[order], fps[order]
+        occ = (self.table[r_s] != 0).sum(axis=1)
+        group_start = np.r_[0, np.nonzero(np.diff(r_s))[0] + 1]
+        group_id = np.cumsum(np.r_[0, (np.diff(r_s) != 0).astype(np.int64)])
+        rank = np.arange(len(r_s)) - group_start[group_id]
+        slot = occ + rank
+        ok = slot < _CK_SLOTS
+        self.table[r_s[ok], slot[ok]] = f_s[ok]
+        placed = np.zeros(len(rows), dtype=bool)
+        placed[order] = ok
+        return placed
+
+    def _kick_insert(self, row: int, fp: int) -> None:
+        """Sequential cuckoo insert with deterministic eviction (slot
+        k % 4 at kick k — no RNG anywhere in the engine).  If the kick
+        budget runs out, the entry left homeless at that point — some
+        DISPLACED VICTIM, not necessarily the original key — goes to the
+        overflow list against one of its two legal rows (``row`` is the
+        alternate it was about to be placed in), so no entry is ever
+        lost: the zero-false-negative contract."""
+        mask = self.mask
+        for k in range(_CK_MAX_KICKS):
+            slots = self.table[row]
+            free = np.nonzero(slots == 0)[0]
+            if free.size:
+                self.table[row, free[0]] = fp
+                return
+            victim = int(slots[k % _CK_SLOTS])
+            self.table[row, k % _CK_SLOTS] = fp
+            fp = victim
+            row = int(np.uint64(row) ^ _ck_alt_xor(np.uint16(fp), mask))
+        self.overflow.append((row << 16) | fp)
+
+    def insert_bulk(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        fp = _ck_fp(h1)
+        if not len(fp):
+            return
+        i1, i2 = _ck_rows(h2, fp, self.mask)
+        placed = self._bulk_place(i1, fp)
+        if not placed.all():
+            rest = ~placed
+            placed2 = self._bulk_place(i2[rest], fp[rest])
+            for r0, f0 in zip(i1[rest][~placed2], fp[rest][~placed2]):
+                self._kick_insert(int(r0), int(f0))
+        self.n_keys += len(fp)
+
+    # -- delete ---------------------------------------------------------------
+    def delete_bulk(self, h1: np.ndarray, h2: np.ndarray) -> int:
+        """Remove ONE stored entry per key (keys must have been inserted —
+        see module note).  Rows are re-compacted so occupancy counting
+        stays valid.  Returns how many entries were removed."""
+        fp = _ck_fp(h1)
+        i1, i2 = _ck_rows(h2, fp, self.mask)
+        removed = 0
+        for a, b, f in zip(i1, i2, fp):
+            done = False
+            for row in (int(a), int(b)):
+                hits = np.nonzero(self.table[row] == f)[0]
+                if hits.size:
+                    slots = self.table[row]
+                    slots[hits[0]] = 0
+                    nz = slots[slots != 0]
+                    slots[:] = 0
+                    slots[: nz.size] = nz
+                    removed += 1
+                    done = True
+                    break
+            if not done:
+                # an overflow entry may be recorded against either of the
+                # key's two rows (kick chains land on the alternate)
+                for packed in ((int(a) << 16) | int(f), (int(b) << 16) | int(f)):
+                    if packed in self.overflow:
+                        self.overflow.remove(packed)
+                        removed += 1
+                        break
+        self.n_keys = max(0, self.n_keys - removed)
+        return removed
+
+    # -- membership / serialization --------------------------------------------
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        return _ck_probe_blob(self.to_bytes(), h1, h2)
+
+    def over_capacity(self) -> bool:
+        cap = self.table.shape[0] * _CK_SLOTS
+        return bool(self.overflow) or self.n_keys > 0.85 * cap
+
+    def to_bytes(self) -> bytes:
+        ov = np.array(sorted(self.overflow), dtype=np.uint64)
+        head = np.array(
+            [self.table.shape[0], len(ov), self.n_keys], dtype=np.uint64
+        )
+        return head.tobytes() + self.table.tobytes() + ov.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "_CuckooTable":
+        n_rows, n_ov, n_keys = np.frombuffer(blob, dtype=np.uint64, count=3)
+        t = cls.__new__(cls)
+        t.table = (
+            np.frombuffer(blob, dtype=np.uint16,
+                          count=int(n_rows) * _CK_SLOTS, offset=24)
+            .reshape(int(n_rows), _CK_SLOTS).copy()
+        )
+        t.overflow = [
+            int(x) for x in np.frombuffer(
+                blob, dtype=np.uint64, count=int(n_ov),
+                offset=24 + int(n_rows) * _CK_SLOTS * 2,
+            )
+        ]
+        t.n_keys = int(n_keys)
+        return t
+
+
+def _ck_probe_blob(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Vectorized membership over a serialized bucket table."""
+    n_rows, n_ov, _ = np.frombuffer(blob, dtype=np.uint64, count=3)
+    table = np.frombuffer(
+        blob, dtype=np.uint16, count=int(n_rows) * _CK_SLOTS, offset=24
+    ).reshape(int(n_rows), _CK_SLOTS)
+    mask = np.uint64(int(n_rows) - 1)
+    fp = _ck_fp(h1)
+    i1, i2 = _ck_rows(h2, fp, mask)
+    hit = (table[i1] == fp[:, None]).any(axis=1)
+    hit |= (table[i2] == fp[:, None]).any(axis=1)
+    if int(n_ov):
+        ov = np.frombuffer(
+            blob, dtype=np.uint64, count=int(n_ov),
+            offset=24 + int(n_rows) * _CK_SLOTS * 2,
+        )
+        packed1 = (i1.view(np.uint64) << np.uint64(16)) | fp.astype(np.uint64)
+        packed2 = (i2.view(np.uint64) << np.uint64(16)) | fp.astype(np.uint64)
+        hit |= np.isin(packed1, ov) | np.isin(packed2, ov)
+    return hit
+
+
+def _ck_rows_for(n_keys: int) -> int:
+    need = max(_CK_STARTER_ROWS, int(n_keys / (_CK_SLOTS * _CK_LOAD)) + 1)
+    return 1 << int(np.ceil(np.log2(need)))
+
+
+def build_cuckoos(url_seen: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """url_seen → one serialized cuckoo table per host-hash bucket (the
+    distributed build, mirror of build_blooms)."""
+    keyed = probe_hashes(url_seen, n_buckets)
+
+    def make_cuckoo(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        t = _CuckooTable(_ck_rows_for(len(pdf)))
+        t.insert_bulk(_as_u64(pdf["_h1"]), _as_u64(pdf["_h2"]))
+        return pd.DataFrame(
+            {"bucket": [bucket], "bits": [t.to_bytes()], "n_keys": [len(pdf)]}
+        )
+
+    return keyed.groupBy("bucket").applyInPandas(make_cuckoo, schema=BLOOM_SCHEMA)
+
+
+def _cuckoo_might_contain_udf(cuckoo_map_bc):
+    """Probe UDF over a sc.broadcast({bucket: blob}); same shape and the
+    same broadcast-variable-not-join-column rule as _might_contain_udf."""
+
+    @F.pandas_udf(T.BooleanType())
+    def might_contain(
+        buckets: pd.Series, h1s: pd.Series, h2s: pd.Series
+    ) -> pd.Series:
+        n = len(h1s)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pd.Series(out)
+        cuckoo_map = cuckoo_map_bc.value
+        h1 = _as_u64(h1s)
+        h2 = _as_u64(h2s)
+        bvals = buckets.to_numpy()
+        for b in np.unique(bvals):
+            blob = cuckoo_map.get(int(b))
+            if blob is None:
+                continue
+            ix = np.nonzero(bvals == b)[0]
+            out[ix] = _ck_probe_blob(blob, h1[ix], h2[ix])
+        return pd.Series(out)
+
+    return might_contain
+
+
+class CuckooState:
+    """Driver-held incremental partitioned cuckoo filter over url_seen —
+    the deletable alternative to BloomState (same derived-state rules:
+    rebuilt from the table on resume, never authoritative on its own).
+
+    Increments are vectorized (Arrow → numpy bulk insert per bucket);
+    there is NO distributed delta mode — cuckoo tables cannot be merged
+    by OR (inserts may kick), so deltas must replay through insert_bulk.
+    remove_seen is the capability the Bloom lacks: keys GC'd from the
+    url_seen table leave the prefilter too instead of inflating its
+    false-positive rate forever."""
+
+    def __init__(self, n_buckets: int = 32):
+        self.n_buckets = n_buckets
+        self.tables: dict[int, _CuckooTable] = {}
+        self._bc = None
+        self._dirty = True
+
+    @classmethod
+    def from_url_seen(cls, url_seen: DataFrame, n_buckets: int = 32) -> "CuckooState":
+        state = cls(n_buckets)
+        for r in build_cuckoos(url_seen, n_buckets).collect():
+            state.tables[int(r["bucket"])] = _CuckooTable.from_bytes(bytes(r["bits"]))
+        return state
+
+    def _bucket(self, b: int) -> _CuckooTable:
+        t = self.tables.get(b)
+        if t is None:
+            t = _CuckooTable()
+            self.tables[b] = t
+        return t
+
+    def add_new_seen(self, new_seen: DataFrame, mode: str = "vectorized") -> None:
+        if mode != "vectorized":
+            raise ValueError(
+                "CuckooState supports only vectorized increments: cuckoo "
+                "tables cannot merge by OR (inserts may kick entries), so "
+                "there is no distributed delta mode"
+            )
+        pdf = probe_hashes(new_seen, self.n_buckets).toPandas()
+        if len(pdf):
+            for b, grp in pdf.groupby("bucket"):
+                self._bucket(int(b)).insert_bulk(
+                    _as_u64(grp["_h1"]), _as_u64(grp["_h2"])
+                )
+            self._dirty = True
+
+    def remove_seen(self, gone: DataFrame) -> int:
+        """Delete keys that are being removed from the url_seen table
+        itself (module note on delete safety).  Returns entries removed."""
+        pdf = probe_hashes(gone, self.n_buckets).toPandas()
+        removed = 0
+        for b, grp in pdf.groupby("bucket"):
+            t = self.tables.get(int(b))
+            if t is not None:
+                removed += t.delete_bulk(_as_u64(grp["_h1"]), _as_u64(grp["_h2"]))
+        if removed:
+            self._dirty = True
+        return removed
+
+    def over_capacity(self) -> bool:
+        return any(t.over_capacity() for t in self.tables.values())
+
+    def as_map(self) -> dict[int, bytes]:
+        return {b: t.to_bytes() for b, t in self.tables.items()}
+
+    def broadcast_map(self, sc):
+        """One reused executor broadcast, replaced (old unpersisted) only
+        when the tables changed — same lifecycle as BloomState."""
         if self._bc is not None and not self._dirty:
             return self._bc
         old = self._bc

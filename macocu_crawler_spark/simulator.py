@@ -108,6 +108,12 @@ class CrawlParams:
     # 'distributed' (executor-side delta bitsets, driver ORs <=n_buckets
     # rows) — the scale path for very wide rounds; semantics identical
     bloom_increment_mode: str = "vectorized"
+    # which prefilter family use_bloom_prefilter enables: 'bloom'
+    # (12 bits/key, OR-mergeable deltas) or 'cuckoo' (~20 bits/key at
+    # load 0.8, ~25x lower FP rate, DELETABLE — urlseen.CuckooState).
+    # Either way the exact anti-join stays authoritative; semantics
+    # identical (tested equivalent)
+    seen_prefilter: str = "bloom"
     # Spark-side knob: keep the compacted url_seen as a BUCKETED table on
     # the seen key so the exact anti-join never reshuffles the seen side
     # (operators/urlseen.write_bucketed_seen); deltas between compactions

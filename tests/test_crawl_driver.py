@@ -128,6 +128,22 @@ def test_bloom_prefilter_driver_equivalence(spark, fixture_dir, sim_result):
     assert _fetch_log(drv) == sim_prefix
 
 
+def test_cuckoo_prefilter_driver_equivalence(spark, fixture_dir, sim_result):
+    """seen_prefilter='cuckoo' must not change any decision either (same
+    prefilter contract as the Bloom: the exact anti-join stays
+    authoritative; the cuckoo adds deletability, not semantics)."""
+    drv = CrawlDriver(
+        spark, fixture_dir, tempfile.mkdtemp(),
+        CrawlParams(
+            max_rounds=6, use_bloom_prefilter=True, seen_prefilter="cuckoo"
+        ),
+        checkpoint_every=0,
+    )
+    drv.run()
+    sim_prefix = [(r, s + 1, u) for r, s, u in sim_result.fetch_log if r <= 6]
+    assert _fetch_log(drv) == sim_prefix
+
+
 def test_bloom_over_capacity_rebuild_in_loop(
     spark, fixture_dir, sim_result, monkeypatch
 ):

@@ -300,3 +300,149 @@ class TestBloomStateIncremental:
         )
         state.add_new_seen(big)
         assert state.over_capacity()
+
+
+class TestCuckooKernel:
+    """Pure-numpy properties of the cuckoo filter (the north rule's
+    'bloom/cuckoo URL-seen filter' — deletable alternative to the Bloom).
+    The invariant admission correctness rides on: NO FALSE NEGATIVES, ever
+    (a 'definitely new' verdict skips the exact join)."""
+
+    @staticmethod
+    def _keys(n, seed):
+        import numpy as np
+
+        r = np.random.default_rng(seed)
+        return (
+            r.integers(0, 2**63, size=n, dtype=np.int64).view(np.uint64),
+            r.integers(0, 2**63, size=n, dtype=np.int64).view(np.uint64),
+        )
+
+    def test_no_false_negatives_and_low_fpp(self):
+        from macocu_crawler_spark.operators.urlseen import (
+            _CuckooTable,
+            _ck_rows_for,
+        )
+
+        h1, h2 = self._keys(50_000, 1)
+        t = _CuckooTable(_ck_rows_for(50_000))
+        t.insert_bulk(h1, h2)
+        assert t.contains(h1, h2).all()
+        g1, g2 = self._keys(50_000, 2)
+        assert t.contains(g1, g2).mean() < 1e-3  # ~25x under the Bloom's
+
+    def test_delete_is_safe_for_remaining_keys(self):
+        """Deleting inserted keys must NEVER make another inserted key a
+        false negative (duplicates are stored, not coalesced)."""
+        from macocu_crawler_spark.operators.urlseen import (
+            _CuckooTable,
+            _ck_rows_for,
+        )
+
+        h1, h2 = self._keys(30_000, 3)
+        t = _CuckooTable(_ck_rows_for(30_000))
+        t.insert_bulk(h1, h2)
+        removed = t.delete_bulk(h1[:15_000], h2[:15_000])
+        assert removed == 15_000
+        assert t.contains(h1[15_000:], h2[15_000:]).all()
+        # deleted keys drop to false-positive-level residuals
+        assert t.contains(h1[:15_000], h2[:15_000]).mean() < 1e-2
+
+    def test_overflow_path_keeps_zero_false_negatives(self):
+        """Past capacity, failed kick chains go to the overflow side-list
+        (including the final displaced VICTIM, not the original key) and
+        over_capacity() flags the rebuild — membership never lies."""
+        from macocu_crawler_spark.operators.urlseen import _CuckooTable
+
+        h1, h2 = self._keys(4_000, 4)  # 2x the 512x4 capacity
+        t = _CuckooTable(512)
+        t.insert_bulk(h1, h2)
+        assert t.contains(h1, h2).all()
+        assert t.over_capacity() and len(t.overflow) > 0
+
+    def test_deterministic_and_serializable(self):
+        from macocu_crawler_spark.operators.urlseen import (
+            _CuckooTable,
+            _ck_rows_for,
+        )
+
+        h1, h2 = self._keys(10_000, 5)
+        a, b = _CuckooTable(_ck_rows_for(10_000)), _CuckooTable(_ck_rows_for(10_000))
+        a.insert_bulk(h1, h2)
+        b.insert_bulk(h1, h2)
+        assert a.to_bytes() == b.to_bytes()  # no RNG anywhere
+        c = _CuckooTable.from_bytes(a.to_bytes())
+        assert c.contains(h1, h2).all()
+
+
+class TestCuckooPrefilter:
+    def test_equals_plain_antijoin(self, spark, seen, candidates):
+        from macocu_crawler_spark.operators.urlseen import filter_new_candidates
+
+        plain = candidates.join(
+            seen, ["scheme", "host", "path_sanitised"], "left_anti"
+        )
+        cuckooed = filter_new_candidates(candidates, seen, kind="cuckoo")
+        a = {tuple(r) for r in plain.collect()}
+        b = {tuple(r) for r in cuckooed.collect()}
+        assert a == b
+        assert len(b) == 1500
+
+    def test_incremental_state_matches_membership(self, spark, seen):
+        """CuckooState built from a base + add_new_seen increments answers
+        membership for every key exactly like a fresh full build (blobs may
+        differ — insert order differs — but no key may be missed)."""
+        from macocu_crawler_spark.operators.urlseen import (
+            CuckooState,
+            _cuckoo_might_contain_udf,
+            probe_hashes,
+        )
+
+        base = seen.filter(F.col("path_sanitised") < "/seen5")
+        delta = seen.exceptAll(base)
+        inc = CuckooState.from_url_seen(base)
+        inc.add_new_seen(delta)
+        full = CuckooState.from_url_seen(seen)
+        probes = probe_hashes(seen).toPandas()
+        import numpy as np
+
+        for state in (inc, full):
+            m = state.as_map()
+            from macocu_crawler_spark.operators.urlseen import _ck_probe_blob
+
+            for b, grp in probes.groupby("bucket"):
+                h1 = grp["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+                h2 = grp["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+                assert _ck_probe_blob(m[int(b)], h1, h2).all()
+
+    def test_distributed_increment_mode_rejected(self, spark, seen):
+        """Cuckoo tables cannot merge by OR — the distributed delta mode
+        must fail loudly, not silently corrupt."""
+        from macocu_crawler_spark.operators.urlseen import CuckooState
+
+        state = CuckooState.from_url_seen(seen)
+        with pytest.raises(ValueError, match="vectorized"):
+            state.add_new_seen(seen, mode="distributed")
+
+    def test_remove_seen_deletes_from_prefilter(self, spark, seen):
+        """The capability the Bloom lacks: keys GC'd from url_seen leave
+        the prefilter (so a long crawl's dead-host purges do not inflate
+        the FP rate forever), while every remaining key stays present."""
+        from macocu_crawler_spark.operators.urlseen import (
+            CuckooState,
+            _ck_probe_blob,
+            probe_hashes,
+        )
+        import numpy as np
+
+        state = CuckooState.from_url_seen(seen)
+        gone = seen.filter(F.col("path_sanitised") < "/seen3")
+        kept = seen.exceptAll(gone)
+        removed = state.remove_seen(gone)
+        assert removed == gone.count()
+        m = state.as_map()
+        probes = probe_hashes(kept).toPandas()
+        for b, grp in probes.groupby("bucket"):
+            h1 = grp["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = grp["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            assert _ck_probe_blob(m[int(b)], h1, h2).all()
