@@ -79,3 +79,81 @@ class TestRobotsTotality:
         """The re2-motivated case: runs of '*' must not backtrack-explode."""
         rules = robots.parse(f"User-agent: *\nDisallow: /{'*' * n}.js$")
         rules.is_allowed("bot", "/" + "a" * 100 + ".jsx")
+
+
+class TestCuckooProperties:
+    """Hypothesis properties of the cuckoo URL-seen kernel: under ANY
+    interleaving of bulk inserts and deletes (duplicates included), every
+    key the reference multiset still holds must probe TRUE — the
+    zero-false-negative invariant admission rides on."""
+
+    @staticmethod
+    def _hashes(keys):
+        import hashlib
+
+        import numpy as np
+
+        h1 = np.array(
+            [int.from_bytes(hashlib.blake2b(
+                k.encode(), digest_size=8, person=b"cuckoo-1").digest(), "big")
+             for k in keys],
+            dtype=np.uint64,
+        )
+        h2 = np.array(
+            [int.from_bytes(hashlib.blake2b(
+                k.encode(), digest_size=8, person=b"cuckoo-2").digest(), "big")
+             for k in keys],
+            dtype=np.uint64,
+        )
+        return h1, h2
+
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["insert", "delete"]),
+                st.lists(st.integers(0, 400), min_size=1, max_size=120),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_no_false_negatives_under_any_interleaving(self, ops):
+        from collections import Counter
+
+        from macocu_crawler_spark.operators.urlseen import _CuckooTable
+
+        t = _CuckooTable(64)  # tiny: forces kicks and the overflow path
+        live = Counter()
+        for op, ids in ops:
+            keys = [f"k{i}" for i in ids]
+            if op == "insert":
+                h1, h2 = self._hashes(keys)
+                t.insert_bulk(h1, h2)
+                live.update(keys)
+            else:
+                # delete only keys currently live (the documented
+                # contract: never delete what was not inserted)
+                deletable = [k for k in keys if live[k] > 0]
+                if not deletable:
+                    continue
+                h1, h2 = self._hashes(deletable)
+                t.delete_bulk(h1, h2)
+                live.subtract(deletable)
+            remaining = [k for k, c in live.items() if c > 0]
+            if remaining:
+                h1, h2 = self._hashes(remaining)
+                assert t.contains(h1, h2).all(), (op, remaining)
+
+    def test_duplicate_insert_survives_single_delete(self):
+        """Duplicates are stored, not coalesced: insert the same key twice,
+        delete once — the key must still be present (this is exactly why
+        deleting an inserted key can never erase a doppelgänger's entry)."""
+        from macocu_crawler_spark.operators.urlseen import _CuckooTable
+
+        t = _CuckooTable(64)
+        h1, h2 = self._hashes(["dup", "dup"])
+        t.insert_bulk(h1, h2)
+        assert t.delete_bulk(h1[:1], h2[:1]) == 1
+        assert t.contains(h1[:1], h2[:1]).all()
+        assert t.delete_bulk(h1[:1], h2[:1]) == 1
