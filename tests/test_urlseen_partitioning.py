@@ -388,6 +388,17 @@ class TestCuckooPrefilter:
         assert a == b
         assert len(b) == 1500
 
+    def test_empty_seen_set(self, spark, candidates):
+        from macocu_crawler_spark.operators.urlseen import filter_new_candidates
+
+        empty = spark.createDataFrame(
+            [], "scheme string, host string, path_sanitised string"
+        )
+        assert (
+            filter_new_candidates(candidates, empty, kind="cuckoo").count()
+            == candidates.count()
+        )
+
     def test_incremental_state_matches_membership(self, spark, seen):
         """CuckooState built from a base + add_new_seen increments answers
         membership for every key exactly like a fresh full build (blobs may
