@@ -173,6 +173,17 @@ class CrawlDriver:
 
         self.spark = spark
         self.params = params or CrawlParams()
+        # validate prefilter knobs up front (ADVICE r5): a bad combination
+        # must fail at construction, not at the first round-end increment
+        # after a round's work is already spent
+        kind = getattr(self.params, "seen_prefilter", "bloom")
+        if kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_prefilter must be 'bloom' or 'cuckoo', got {kind!r}")
+        mode = getattr(self.params, "bloom_increment_mode", "vectorized")
+        if mode not in ("vectorized", "distributed"):
+            raise ValueError(
+                f"bloom_increment_mode must be 'vectorized' or 'distributed', got {mode!r}"
+            )
         self.catalog = SnapshotCatalog(workdir)
         self.checkpoint_every = checkpoint_every
         self.round_no = 0
@@ -306,10 +317,12 @@ class CrawlDriver:
         return CuckooState if kind == "cuckoo" else BloomState
 
     def _init_bloom(self) -> None:
-        """Incremental Bloom/cuckoo over url_seen (derived state — rebuilt
-        from the table on init/resume/overflow, never checkpointed).  The
-        family is params.seen_prefilter; both expose the same state API
-        (from_url_seen / add_new_seen / over_capacity / broadcast_map)."""
+        """Incremental Bloom/cuckoo over url_seen (derived state — REBUILT
+        from the table; the slow path).  The family is
+        params.seen_prefilter; both expose the same state API
+        (from_url_seen / add_new_seen / over_capacity / broadcast_map).
+        commit() also snapshots the blobs so resume() normally restores
+        through _restore_or_init_bloom without scanning url_seen."""
         old = getattr(self, "_bloom", None)
         self._bloom = None
         if getattr(self.params, "use_bloom_prefilter", False):
@@ -317,6 +330,50 @@ class CrawlDriver:
             self._adopt_bloom_broadcast(old)
         elif old is not None and old._bc is not None:
             old._bc.unpersist(blocking=False)
+
+    def _restore_or_init_bloom(self) -> None:
+        """Resume fast path: restore the Bloom/cuckoo prefilter from the
+        checkpoint's ``prefilter`` snapshot — O(filter size), NO scan of
+        url_seen, which at 10^10 rows is the biggest table in the system.
+        Falls back to the derived-state rebuild (_init_bloom) on any kind /
+        blob-format / missing-snapshot mismatch, and on capacity overflow
+        (the restored filter would degrade, so rebuild at the right size)."""
+        if not getattr(self.params, "use_bloom_prefilter", False):
+            self._init_bloom()
+            return
+        from .operators.urlseen import _BLOB_FORMAT
+
+        kind = getattr(self.params, "seen_prefilter", "bloom")
+        meta = None
+        if self.catalog.exists("prefilter"):
+            meta = next(
+                (v for v in self.catalog.metrics("prefilter")
+                 if v["version"] == self.round_no),
+                None,
+            )
+        if (
+            meta is None
+            or meta["metrics"].get("kind") != kind
+            or meta["metrics"].get("format") != _BLOB_FORMAT
+        ):
+            self._init_bloom()
+            return
+        try:
+            rows = self.catalog.read(
+                self.spark, "prefilter", version=self.round_no
+            ).collect()
+            state = self._prefilter_cls().from_snapshot(
+                rows, n_buckets=int(meta["metrics"]["n_buckets"])
+            )
+        except (ValueError, FileNotFoundError):
+            self._init_bloom()  # stale/corrupt blob → rebuild from the table
+            return
+        if state.over_capacity():
+            self._init_bloom()
+            return
+        old = getattr(self, "_bloom", None)
+        self._bloom = state
+        self._adopt_bloom_broadcast(old)
 
     def _adopt_bloom_broadcast(self, old) -> None:
         """Hand a replaced BloomState's live executor broadcast to the new
@@ -842,6 +899,25 @@ class CrawlDriver:
                     name, df, version=self.round_no,
                     metrics={"round": self.round_no},
                 )
+        if getattr(self, "_bloom", None) is not None:
+            # prefilter snapshot (O(filter size)): lets resume() restore the
+            # Bloom/cuckoo without rescanning url_seen.  Derived state — a
+            # kind/format/capacity mismatch at restore falls back to rebuild
+            from .operators.urlseen import _BLOB_FORMAT, BLOOM_SCHEMA
+
+            self.catalog.write(
+                "prefilter",
+                self.spark.createDataFrame(
+                    self._bloom.snapshot_rows(), BLOOM_SCHEMA
+                ),
+                version=self.round_no,
+                metrics={
+                    "round": self.round_no,
+                    "kind": getattr(self.params, "seen_prefilter", "bloom"),
+                    "n_buckets": self._bloom.n_buckets,
+                    "format": _BLOB_FORMAT,
+                },
+            )
         if self.expire_keep:
             # state snapshots older than the last expire_keep are
             # unreachable by resume (which opens the newest) — reclaim
@@ -855,6 +931,12 @@ class CrawlDriver:
                 self.catalog.expire_snapshots(
                     name, keep_last=self.expire_keep,
                     protect=self._pin_versions.get(name),
+                )
+            if self.catalog.exists("prefilter"):
+                # blobs are collected eagerly at restore — no live lazy
+                # plan to protect
+                self.catalog.expire_snapshots(
+                    "prefilter", keep_last=self.expire_keep
                 )
         meta = {
             "round": self.round_no,
@@ -876,7 +958,7 @@ class CrawlDriver:
         for name in self.STATE_TABLES:
             setattr(self, name, self.catalog.read(self.spark, name, version=self.round_no))
             self._pin_versions[name] = self.round_no
-        self._init_bloom()
+        self._restore_or_init_bloom()
         self._compact_seen_parts()
         # outputs appended by rounds AFTER the resumed snapshot belong to the
         # crashed run — drop their manifest entries (the re-run overwrites

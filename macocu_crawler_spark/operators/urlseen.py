@@ -40,6 +40,33 @@ BLOOM_SCHEMA = T.StructType(
 N_HASHES = 4
 BITS_PER_KEY = 12  # ~0.3% false-positive rate at k=4
 
+# -- blob framing -------------------------------------------------------------
+# Every serialized filter blob (the `bits` column of BLOOM_SCHEMA rows, the
+# as_map()/broadcast maps, checkpointed prefilter snapshots) carries an
+# 8-byte header: [family tag, format version, 6 reserved zero bytes].  The
+# probe UDFs assert it, so a bloom-built map probed as a cuckoo (or vice
+# versa), or a stale on-disk format, fails loudly instead of reinterpreting
+# raw bitset bytes as a table header and probing garbage (ADVICE r5).  Eight
+# bytes (not one) keeps the uint64 reads behind the header aligned.
+_BLOB_HEADER = 8
+_TAG_BLOOM = 0x42   # 'B'
+_TAG_CUCKOO = 0x43  # 'C'
+_BLOB_FORMAT = 1
+
+
+def _wrap_blob(tag: int, payload: bytes) -> bytes:
+    return bytes((tag, _BLOB_FORMAT)) + b"\x00" * (_BLOB_HEADER - 2) + payload
+
+
+def _check_blob(blob: bytes, tag: int) -> None:
+    if len(blob) < _BLOB_HEADER or blob[0] != tag or blob[1] != _BLOB_FORMAT:
+        raise ValueError(
+            f"prefilter blob header mismatch: got {bytes(blob[:2])!r}, want "
+            f"tag {bytes((tag,))!r} format {_BLOB_FORMAT} — a bloom-built "
+            "map probed as cuckoo (or vice versa), or a stale serialized "
+            "filter; rebuild the prefilter from url_seen"
+        )
+
 
 def _seen_key(scheme, host, path_sanitised):
     return F.concat_ws("\x00", scheme, host, path_sanitised)
@@ -78,7 +105,8 @@ def build_blooms(url_seen: DataFrame, n_buckets: int = 32) -> DataFrame:
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
         _set_bits(bits, _as_u64(pdf["_h1"]), _as_u64(pdf["_h2"]))
         return pd.DataFrame(
-            {"bucket": [bucket], "bits": [bits.tobytes()], "n_keys": [n]}
+            {"bucket": [bucket], "bits": [_wrap_blob(_TAG_BLOOM, bits.tobytes())],
+             "n_keys": [n]}
         )
 
     return keyed.groupBy("bucket").applyInPandas(make_bloom, schema=BLOOM_SCHEMA)
@@ -107,8 +135,9 @@ def _might_contain_udf(bloom_map_bc):
             raw = bloom_map.get(int(b))
             if raw is None:
                 continue  # bucket has no bloom -> nothing seen there
+            _check_blob(raw, _TAG_BLOOM)
             ix = np.nonzero(bvals == b)[0]
-            arr = np.frombuffer(raw, dtype=np.uint8)
+            arr = np.frombuffer(raw, dtype=np.uint8, offset=_BLOB_HEADER)
             m_bits = np.uint64(len(arr) * 8)
             hit = np.ones(len(ix), dtype=bool)
             for i in range(N_HASHES):
@@ -308,7 +337,8 @@ def delta_blooms(
         bits = np.zeros(n_bytes, dtype=np.uint8)
         _set_bits(bits, _as_u64(pdf["_h1"]), _as_u64(pdf["_h2"]))
         return pd.DataFrame(
-            {"bucket": [bucket], "bits": [bits.tobytes()], "n_keys": [len(pdf)]}
+            {"bucket": [bucket], "bits": [_wrap_blob(_TAG_BLOOM, bits.tobytes())],
+             "n_keys": [len(pdf)]}
         )
 
     return (
@@ -355,9 +385,33 @@ class BloomState:
     def from_url_seen(cls, url_seen: DataFrame, n_buckets: int = 32) -> "BloomState":
         state = cls(n_buckets)
         for r in build_blooms(url_seen, n_buckets).collect():
-            state.bits[int(r["bucket"])] = bytearray(bytes(r["bits"]))
+            blob = bytes(r["bits"])
+            _check_blob(blob, _TAG_BLOOM)
+            state.bits[int(r["bucket"])] = bytearray(blob[_BLOB_HEADER:])
             state.n_keys[int(r["bucket"])] = int(r["n_keys"])
         return state
+
+    @classmethod
+    def from_snapshot(
+        cls, rows: list, n_buckets: int = 32
+    ) -> "BloomState":
+        """Restore from checkpointed (bucket, bits, n_keys) rows — O(filter
+        size), NO url_seen scan (the resume fast path; the blob header is
+        asserted so a stale/mismatched snapshot fails into the rebuild)."""
+        state = cls(n_buckets)
+        for r in rows:
+            blob = bytes(r["bits"])
+            _check_blob(blob, _TAG_BLOOM)
+            state.bits[int(r["bucket"])] = bytearray(blob[_BLOB_HEADER:])
+            state.n_keys[int(r["bucket"])] = int(r["n_keys"])
+        return state
+
+    def snapshot_rows(self) -> list[tuple[int, bytes, int]]:
+        """(bucket, blob, n_keys) rows for the checkpoint prefilter table."""
+        return [
+            (b, _wrap_blob(_TAG_BLOOM, bytes(arr)), int(self.n_keys.get(b, 0)))
+            for b, arr in sorted(self.bits.items())
+        ]
 
     def _bucket_arr(self, b: int) -> bytearray:
         arr = self.bits.get(b)
@@ -378,7 +432,9 @@ class BloomState:
             for r in rows:
                 b = int(r["bucket"])
                 arr = self._bucket_arr(b)
-                delta = np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
+                blob = bytes(r["bits"])
+                _check_blob(blob, _TAG_BLOOM)
+                delta = np.frombuffer(blob, dtype=np.uint8, offset=_BLOB_HEADER)
                 view = np.frombuffer(arr, dtype=np.uint8)
                 np.bitwise_or(view, delta, out=view)
                 self.n_keys[b] += int(r["n_keys"])
@@ -402,7 +458,7 @@ class BloomState:
         )
 
     def as_map(self) -> dict[int, bytes]:
-        return {b: bytes(arr) for b, arr in self.bits.items()}
+        return {b: _wrap_blob(_TAG_BLOOM, bytes(arr)) for b, arr in self.bits.items()}
 
     def broadcast_map(self, sc):
         """The executor broadcast of as_map(), re-broadcast only when the
@@ -530,9 +586,17 @@ class _CuckooTable:
         self.overflow.append((row << 16) | fp)
 
     def insert_bulk(self, h1: np.ndarray, h2: np.ndarray) -> None:
-        fp = _ck_fp(h1)
-        if not len(fp):
+        """Insert a batch of keys.  The batch is canonicalised to (h1, h2)
+        order first: cuckoo placement depends on insertion order, so sorting
+        makes the resulting table a pure function of the key SET — the
+        property the vectorized≡distributed bit-identity contract rides on
+        (both modes insert the same per-bucket delta as one batch, in
+        whatever row order the shuffle happened to deliver)."""
+        if not len(h1):
             return
+        order = np.lexsort((h2, h1))
+        h1, h2 = h1[order], h2[order]
+        fp = _ck_fp(h1)
         i1, i2 = _ck_rows(h2, fp, self.mask)
         placed = self._bulk_place(i1, fp)
         if not placed.all():
@@ -587,21 +651,26 @@ class _CuckooTable:
         head = np.array(
             [self.table.shape[0], len(ov), self.n_keys], dtype=np.uint64
         )
-        return head.tobytes() + self.table.tobytes() + ov.tobytes()
+        return _wrap_blob(
+            _TAG_CUCKOO, head.tobytes() + self.table.tobytes() + ov.tobytes()
+        )
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "_CuckooTable":
-        n_rows, n_ov, n_keys = np.frombuffer(blob, dtype=np.uint64, count=3)
+        _check_blob(blob, _TAG_CUCKOO)
+        n_rows, n_ov, n_keys = np.frombuffer(
+            blob, dtype=np.uint64, count=3, offset=_BLOB_HEADER
+        )
         t = cls.__new__(cls)
         t.table = (
             np.frombuffer(blob, dtype=np.uint16,
-                          count=int(n_rows) * _CK_SLOTS, offset=24)
+                          count=int(n_rows) * _CK_SLOTS, offset=_BLOB_HEADER + 24)
             .reshape(int(n_rows), _CK_SLOTS).copy()
         )
         t.overflow = [
             int(x) for x in np.frombuffer(
                 blob, dtype=np.uint64, count=int(n_ov),
-                offset=24 + int(n_rows) * _CK_SLOTS * 2,
+                offset=_BLOB_HEADER + 24 + int(n_rows) * _CK_SLOTS * 2,
             )
         ]
         t.n_keys = int(n_keys)
@@ -610,9 +679,13 @@ class _CuckooTable:
 
 def _ck_probe_blob(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     """Vectorized membership over a serialized bucket table."""
-    n_rows, n_ov, _ = np.frombuffer(blob, dtype=np.uint64, count=3)
+    _check_blob(blob, _TAG_CUCKOO)
+    n_rows, n_ov, _ = np.frombuffer(
+        blob, dtype=np.uint64, count=3, offset=_BLOB_HEADER
+    )
     table = np.frombuffer(
-        blob, dtype=np.uint16, count=int(n_rows) * _CK_SLOTS, offset=24
+        blob, dtype=np.uint16, count=int(n_rows) * _CK_SLOTS,
+        offset=_BLOB_HEADER + 24,
     ).reshape(int(n_rows), _CK_SLOTS)
     mask = np.uint64(int(n_rows) - 1)
     fp = _ck_fp(h1)
@@ -622,7 +695,7 @@ def _ck_probe_blob(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     if int(n_ov):
         ov = np.frombuffer(
             blob, dtype=np.uint64, count=int(n_ov),
-            offset=24 + int(n_rows) * _CK_SLOTS * 2,
+            offset=_BLOB_HEADER + 24 + int(n_rows) * _CK_SLOTS * 2,
         )
         packed1 = (i1.view(np.uint64) << np.uint64(16)) | fp.astype(np.uint64)
         packed2 = (i2.view(np.uint64) << np.uint64(16)) | fp.astype(np.uint64)
@@ -649,6 +722,38 @@ def build_cuckoos(url_seen: DataFrame, n_buckets: int = 32) -> DataFrame:
         )
 
     return keyed.groupBy("bucket").applyInPandas(make_cuckoo, schema=BLOOM_SCHEMA)
+
+
+def delta_cuckoos(new_seen: DataFrame, blob_map_bc, n_buckets: int = 32) -> DataFrame:
+    """Distributed per-bucket cuckoo increment (the cuckoo mirror of
+    delta_blooms).  Cuckoo tables cannot be OR-merged — inserts may kick
+    entries — but the buckets are INDEPENDENT by construction (per-host-hash),
+    so the increment distributes per bucket instead: group this round's delta
+    keys by bucket, replay insert_bulk into that bucket's current blob
+    executor-side, and return the new blob.  The driver collects ≤n_buckets
+    serialized tables (O(filter size), like the Bloom's delta path) instead
+    of O(delta) key hashes, and the 32 serial kick chains run in parallel.
+
+    ``blob_map_bc`` is the state's existing executor broadcast of as_map()
+    (the same copy the probe UDF reads — no extra executor memory); a bucket
+    with no blob yet starts at the default sizing.  insert_bulk canonicalises
+    key order, so the result is bit-identical to the driver-side vectorized
+    mode for the same (base, delta) — tested three ways."""
+
+    def insert_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        blob = blob_map_bc.value.get(bucket)
+        t = _CuckooTable.from_bytes(blob) if blob is not None else _CuckooTable()
+        t.insert_bulk(_as_u64(pdf["_h1"]), _as_u64(pdf["_h2"]))
+        return pd.DataFrame(
+            {"bucket": [bucket], "bits": [t.to_bytes()], "n_keys": [len(pdf)]}
+        )
+
+    return (
+        probe_hashes(new_seen, n_buckets)
+        .groupBy("bucket")
+        .applyInPandas(insert_bucket, schema=BLOOM_SCHEMA)
+    )
 
 
 def _cuckoo_might_contain_udf(cuckoo_map_bc):
@@ -681,11 +786,23 @@ def _cuckoo_might_contain_udf(cuckoo_map_bc):
 class CuckooState:
     """Driver-held incremental partitioned cuckoo filter over url_seen —
     the deletable alternative to BloomState (same derived-state rules:
-    rebuilt from the table on resume, never authoritative on its own).
+    checkpoint-restorable via snapshot_rows/from_snapshot, rebuilt from the
+    table on mismatch, never authoritative on its own).
 
-    Increments are vectorized (Arrow → numpy bulk insert per bucket);
-    there is NO distributed delta mode — cuckoo tables cannot be merged
-    by OR (inserts may kick), so deltas must replay through insert_bulk.
+    Two increment modes, mirroring BloomState:
+
+    - ``vectorized`` (default): collect the round's (bucket, h1, h2) probe
+      hashes and bulk-insert per bucket driver-side.  Right for typical
+      round widths (30k keys ≈ 80 ms of kick chains).
+    - ``distributed``: per-bucket applyInPandas replays insert_bulk into
+      each bucket's current blob EXECUTOR-side (``delta_cuckoos``) and the
+      driver collects only ≤n_buckets new blobs — collect volume is
+      O(filter size), not O(new keys), and the serial kick chains run in
+      parallel; the scale path for very wide rounds.  Cuckoo tables cannot
+      OR-merge (inserts kick), which is why the delta distributes per
+      BUCKET rather than per bitset; insert_bulk's canonical key ordering
+      makes both modes bit-identical for the same delta.
+
     remove_seen is the capability the Bloom lacks: keys GC'd from the
     url_seen table leave the prefilter too instead of inflating its
     false-positive rate forever."""
@@ -703,6 +820,21 @@ class CuckooState:
             state.tables[int(r["bucket"])] = _CuckooTable.from_bytes(bytes(r["bits"]))
         return state
 
+    @classmethod
+    def from_snapshot(cls, rows: list, n_buckets: int = 32) -> "CuckooState":
+        """Restore from checkpointed (bucket, bits, n_keys) rows — O(filter
+        size), no url_seen scan (resume fast path)."""
+        state = cls(n_buckets)
+        for r in rows:
+            state.tables[int(r["bucket"])] = _CuckooTable.from_bytes(bytes(r["bits"]))
+        return state
+
+    def snapshot_rows(self) -> list[tuple[int, bytes, int]]:
+        """(bucket, blob, n_keys) rows for the checkpoint prefilter table."""
+        return [
+            (b, t.to_bytes(), int(t.n_keys)) for b, t in sorted(self.tables.items())
+        ]
+
     def _bucket(self, b: int) -> _CuckooTable:
         t = self.tables.get(b)
         if t is None:
@@ -711,12 +843,22 @@ class CuckooState:
         return t
 
     def add_new_seen(self, new_seen: DataFrame, mode: str = "vectorized") -> None:
-        if mode != "vectorized":
-            raise ValueError(
-                "CuckooState supports only vectorized increments: cuckoo "
-                "tables cannot merge by OR (inserts may kick entries), so "
-                "there is no distributed delta mode"
-            )
+        if mode not in ("vectorized", "distributed"):
+            raise ValueError(f"unknown add_new_seen mode {mode!r}")
+        if mode == "distributed":
+            sc = new_seen.sparkSession.sparkContext
+            # reuse the probe broadcast: it already holds the pre-increment
+            # blobs on every executor (broadcast_map re-broadcasts only when
+            # dirty, so this is normally a no-op handle fetch)
+            bc = self.broadcast_map(sc)
+            rows = delta_cuckoos(new_seen, bc, self.n_buckets).collect()
+            for r in rows:
+                self.tables[int(r["bucket"])] = _CuckooTable.from_bytes(
+                    bytes(r["bits"])
+                )
+            if rows:
+                self._dirty = True
+            return
         pdf = probe_hashes(new_seen, self.n_buckets).toPandas()
         if len(pdf):
             for b, grp in pdf.groupby("bucket"):

@@ -222,6 +222,85 @@ def test_bloom_prefilter_resume_equivalence(spark, fixture_dir, sim_result):
     assert _fetch_log(drv2) == sim_prefix
 
 
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_prefilter_checkpoint_restore_skips_rebuild(
+    spark, fixture_dir, monkeypatch, kind
+):
+    """Round 6: commit() snapshots the prefilter blobs (O(filter size)), so
+    resume() restores them WITHOUT scanning url_seen — at 10^10 rows the
+    rebuild is a full pass over the biggest table in the system.  Proven by
+    stubbing the rebuild entry points to raise: resume must succeed anyway,
+    with the restored state bit-identical to the committed one.  A kind
+    mismatch (bloom checkpoint, cuckoo params) must fall back to the rebuild
+    path (which the stub turns into the assertion)."""
+    from macocu_crawler_spark.operators import urlseen
+
+    workdir = tempfile.mkdtemp()
+    drv1 = CrawlDriver(
+        spark, fixture_dir, workdir,
+        CrawlParams(max_rounds=3, use_bloom_prefilter=True, seen_prefilter=kind),
+        checkpoint_every=3,
+    )
+    drv1.run()
+    saved = drv1._bloom.as_map()
+    del drv1
+
+    def boom(cls, *a, **k):
+        raise AssertionError("prefilter rebuild scanned url_seen on resume")
+
+    monkeypatch.setattr(urlseen.BloomState, "from_url_seen", classmethod(boom))
+    monkeypatch.setattr(urlseen.CuckooState, "from_url_seen", classmethod(boom))
+    drv2 = CrawlDriver(
+        spark, fixture_dir, workdir,
+        CrawlParams(max_rounds=6, use_bloom_prefilter=True, seen_prefilter=kind),
+        checkpoint_every=0,
+    )
+    drv2.resume()
+    assert drv2._bloom.as_map() == saved  # bit-identical, no url_seen scan
+    other = "cuckoo" if kind == "bloom" else "bloom"
+    drv3 = CrawlDriver(
+        spark, fixture_dir, workdir,
+        CrawlParams(use_bloom_prefilter=True, seen_prefilter=other),
+        checkpoint_every=0,
+    )
+    with pytest.raises(AssertionError, match="rebuild"):
+        drv3.resume()
+
+
+def test_invalid_prefilter_params_rejected_at_init(spark, fixture_dir):
+    """ADVICE r5: a bad prefilter knob fails at construction, not at the
+    first round-end increment after a round's work is spent."""
+    with pytest.raises(ValueError, match="seen_prefilter"):
+        CrawlDriver(
+            spark, fixture_dir, tempfile.mkdtemp(),
+            CrawlParams(seen_prefilter="xor"),
+        )
+    with pytest.raises(ValueError, match="bloom_increment_mode"):
+        CrawlDriver(
+            spark, fixture_dir, tempfile.mkdtemp(),
+            CrawlParams(bloom_increment_mode="merge"),
+        )
+
+
+def test_cuckoo_distributed_increment_driver_equivalence(
+    spark, fixture_dir, sim_result
+):
+    """Round 6: the cuckoo prefilter with the DISTRIBUTED per-bucket
+    increment (delta_cuckoos) must not change any crawl decision — the
+    driver-loop equivalence gate for the new scale path."""
+    drv = CrawlDriver(
+        spark, fixture_dir, tempfile.mkdtemp(),
+        CrawlParams(
+            max_rounds=6, use_bloom_prefilter=True, seen_prefilter="cuckoo",
+            bloom_increment_mode="distributed",
+        ),
+        checkpoint_every=0,
+    )
+    drv.run()
+    sim_prefix = [(r, s + 1, u) for r, s, u in sim_result.fetch_log if r <= 6]
+    assert _fetch_log(drv) == sim_prefix
+
+
 def test_bucketed_seen_driver_equivalence(spark, fixture_dir, sim_result):
     """use_bucketed_seen (the 10^10-scale anti-join path: bucketed base +
     broadcast delta legs, chained anti-joins) must not change any crawl

@@ -184,6 +184,7 @@ class TestBloomStateIncremental:
         import pandas as pd
 
         from macocu_crawler_spark.operators.urlseen import (
+            _BLOB_HEADER,
             BloomState,
             N_HASHES,
             probe_hashes,
@@ -206,7 +207,7 @@ class TestBloomStateIncremental:
         def probes_true(df) -> bool:
             rows = probe_hashes(df).collect()
             for r in rows:
-                arr = bloom_map[int(r["bucket"])]
+                arr = bloom_map[int(r["bucket"])][_BLOB_HEADER:]  # skip tag
                 m_bits = len(arr) * 8
                 h1 = r["_h1"] & 0xFFFFFFFFFFFFFFFF
                 h2 = (r["_h2"] & 0xFFFFFFFFFFFFFFFF) | 1
@@ -426,14 +427,57 @@ class TestCuckooPrefilter:
                 h2 = grp["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
                 assert _ck_probe_blob(m[int(b)], h1, h2).all()
 
-    def test_distributed_increment_mode_rejected(self, spark, seen):
-        """Cuckoo tables cannot merge by OR — the distributed delta mode
-        must fail loudly, not silently corrupt."""
+    def test_distributed_increment_bit_identical_to_vectorized(self, spark, seen):
+        """Cuckoo tables cannot OR-merge, so the distributed mode replays
+        insert_bulk per independent bucket executor-side (delta_cuckoos).
+        With canonical insert ordering the resulting blobs must be
+        BIT-IDENTICAL to the driver-side vectorized mode for the same
+        (base, delta) — the three-way contract TestBloomStateIncremental
+        pins for the Bloom."""
         from macocu_crawler_spark.operators.urlseen import CuckooState
 
-        state = CuckooState.from_url_seen(seen)
-        with pytest.raises(ValueError, match="vectorized"):
-            state.add_new_seen(seen, mode="distributed")
+        base = seen.filter(F.col("path_sanitised") < "/seen5")
+        delta = seen.exceptAll(base)
+        vec = CuckooState.from_url_seen(base)
+        vec.add_new_seen(delta, mode="vectorized")
+        dist = CuckooState.from_url_seen(base)
+        dist.add_new_seen(delta, mode="distributed")
+        assert vec.as_map() == dist.as_map()
+        # and membership still covers every key (vs a fresh full build)
+        full = CuckooState.from_url_seen(seen)
+        assert set(vec.as_map()) == set(full.as_map())
+        with pytest.raises(ValueError, match="unknown"):
+            vec.add_new_seen(delta, mode="bogus")
+
+    def test_mismatched_blob_kind_fails_loudly(self, spark, seen):
+        """ADVICE r5: probing a bloom-built map as cuckoo (or vice versa)
+        must raise on the header tag, never reinterpret bitset bytes."""
+        import numpy as np
+
+        from macocu_crawler_spark.operators.urlseen import (
+            BloomState,
+            CuckooState,
+            _ck_probe_blob,
+            filter_new_candidates,
+        )
+
+        bloom_map = BloomState.from_url_seen(seen).as_map()
+        some_blob = next(iter(bloom_map.values()))
+        with pytest.raises(ValueError, match="tag"):
+            _ck_probe_blob(some_blob, np.zeros(1, np.uint64), np.zeros(1, np.uint64))
+        # end-to-end: a bloom map routed down the cuckoo probe path raises
+        # at action time (Spark surfaces the UDF's ValueError text) instead
+        # of producing garbage verdicts
+        with pytest.raises(Exception, match="blob header mismatch"):
+            filter_new_candidates(
+                seen.limit(10), seen, bloom_map=bloom_map, kind="cuckoo"
+            ).count()
+        # and the cuckoo map down the bloom path likewise
+        cuckoo_map = CuckooState.from_url_seen(seen).as_map()
+        with pytest.raises(Exception, match="blob header mismatch"):
+            filter_new_candidates(
+                seen.limit(10), seen, bloom_map=cuckoo_map, kind="bloom"
+            ).count()
 
     def test_remove_seen_deletes_from_prefilter(self, spark, seen):
         """The capability the Bloom lacks: keys GC'd from url_seen leave
