@@ -213,11 +213,15 @@ class CrawlDriver:
         self._seen_parts: list[DataFrame] | None = None
         # seen compaction cadence: every compact_every rounds the delta
         # legs are MERGED INTO the bucketed base in place (minor — cost ∝
-        # delta); every seen_major_every-th compaction rewrites the table
-        # to one sorted file per bucket (major).  Iceberg's minor/major
-        # rewrite split; see urlseen.append_bucketed_seen.
+        # delta); every seen_major_every-th compaction additionally
+        # binpacks the buckets whose file count exceeds
+        # seen_major_max_files back to one sorted file each (major,
+        # per-bucket — cost ∝ dirty buckets, never the whole table).
+        # Iceberg's minor/major rewrite split; see
+        # urlseen.append_bucketed_seen / compact_dirty_buckets.
         self.compact_every = 8
         self.seen_major_every = 4
+        self.seen_major_max_files = 4
         self._minor_compactions = 0
         # snapshot expiry at commit (Iceberg maintenance): keep the newest
         # N state-table snapshots; 0 disables.  Must stay ≥2 when enabled —
@@ -390,12 +394,11 @@ class CrawlDriver:
         anti-join then needs an Exchange only on the (small) candidates
         side; the base scan is read bucket-for-bucket in place
         (urlseen.write_bucketed_seen), one sorted file per bucket.  Runs at
-        init/resume (the base must exist) and every seen_major_every-th
-        compaction; in between, _merge_seen_deltas appends only the delta
-        legs into their buckets (cost ∝ delta size, the Iceberg
-        bucket-transform append).  Between compactions, each round's
-        new-seen leg rides the parts list and AQE broadcasts it in the
-        chained anti-join."""
+        init/resume only (the base must exist); in-crawl maintenance is
+        _merge_seen_deltas (minor, cost ∝ delta) and _major_compact_seen
+        (per-bucket binpack, cost ∝ dirty buckets).  Between compactions,
+        each round's new-seen leg rides the parts list and AQE broadcasts
+        it in the chained anti-join."""
         self._seen_parts = None
         if not getattr(self.params, "use_bucketed_seen", False):
             return
@@ -410,6 +413,7 @@ class CrawlDriver:
         base = write_bucketed_seen(self.url_seen, location, table, n_buckets)
         self._seen_parts = [base]
         self._seen_table = table
+        self._seen_location = location
         self._seen_n_buckets = n_buckets
         self._minor_compactions = 0
 
@@ -427,6 +431,22 @@ class CrawlDriver:
 
         delta = reduce(DataFrame.unionByName, self._seen_parts[1:])
         base = append_bucketed_seen(delta, self._seen_table, self._seen_n_buckets)
+        self._seen_parts = [base]
+
+    def _major_compact_seen(self) -> None:
+        """MAJOR compaction, per-bucket (round 6 — was a full-table
+        rewrite): fold outstanding delta legs in first (minor append), then
+        binpack only the buckets whose file count exceeds
+        seen_major_max_files back to one sorted file each
+        (urlseen.compact_dirty_buckets).  Wall cost ∝ dirty-bucket bytes;
+        clean buckets — at 10^10 rows, the vast majority — are not read."""
+        from .operators.urlseen import compact_dirty_buckets
+
+        self._merge_seen_deltas()
+        base, _dirty = compact_dirty_buckets(
+            self.spark, self._seen_table, self._seen_location,
+            self._seen_n_buckets, max_files=self.seen_major_max_files,
+        )
         self._seen_parts = [base]
 
     # -- one round ------------------------------------------------------------------
@@ -805,7 +825,7 @@ class CrawlDriver:
             if self._seen_parts is not None:
                 self._minor_compactions += 1
                 if self._minor_compactions % self.seen_major_every == 0:
-                    self._compact_seen_parts()  # major: full sorted rewrite
+                    self._major_compact_seen()  # major: binpack dirty buckets
                 else:
                     self._merge_seen_deltas()   # minor: delta-only append
         self.metrics.append({"round": r, "selected": n_selected, "processed": n_processed})

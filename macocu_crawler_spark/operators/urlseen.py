@@ -243,6 +243,13 @@ def write_bucketed_seen(
     shutil.rmtree(location, ignore_errors=True)  # stale unregistered dir
     (
         url_seen.select(*SEEN_KEY_COLS)
+        # repartition on the bucket key first: bucketBy alone writes one
+        # file per (input partition × bucket) — a 32-partition input left
+        # 32 files in every bucket, so "one sorted file per bucket" never
+        # actually held (found round 6).  repartition and bucketBy share
+        # Murmur3 HashPartitioning, so each task holds exactly one bucket
+        # and emits exactly one file
+        .repartition(n_buckets, *SEEN_KEY_COLS)
         .write.bucketBy(n_buckets, *SEEN_KEY_COLS)
         .sortBy(*SEEN_KEY_COLS)
         .option("path", location)
@@ -283,6 +290,73 @@ def append_bucketed_seen(
     )
     spark.catalog.refreshTable(table)
     return spark.table(table)
+
+
+_BUCKET_FILE_RE = None  # compiled lazily (keep the module import light)
+
+
+def bucket_files(location: str) -> dict[int, list[str]]:
+    """bucket id → data files under a bucketed table's location, parsed
+    from Spark's bucketed file naming (``part-<task>-<uuid>_<bucketId>.c000
+    .snappy.parquet`` — the ``_NNNNN`` immediately before ``.c<n>`` is the
+    bucket id).  Metadata files (_SUCCESS, .crc) never match."""
+    import os
+    import re
+
+    global _BUCKET_FILE_RE
+    if _BUCKET_FILE_RE is None:
+        _BUCKET_FILE_RE = re.compile(r"_(\d{5})\.c\d+.*\.parquet$")
+    out: dict[int, list[str]] = {}
+    for fname in sorted(os.listdir(location)):
+        m = _BUCKET_FILE_RE.search(fname)
+        if m:
+            out.setdefault(int(m.group(1)), []).append(
+                os.path.join(location, fname)
+            )
+    return out
+
+
+def compact_dirty_buckets(
+    spark, table: str, location: str, n_buckets: int, max_files: int = 4
+):
+    """Per-bucket MAJOR compaction — Iceberg's binpack rewrite, scoped to
+    dirty buckets only.  Buckets holding more than ``max_files`` data files
+    (minor appends leave one file per touched bucket per compaction) are
+    rewritten to one sorted file each; CLEAN buckets' files are not even
+    read.  At 10^10 seen rows the old whole-table major was a full pass
+    over the biggest table in the system; this is ∝ dirty-bucket bytes.
+
+    Mechanics: read exactly the dirty buckets' files, append them back
+    through the bucketed writer (repartition and bucketBy share Spark's
+    Murmur3 hash partitioning, so every row re-lands in its own bucket and
+    each write task emits one file), then delete the superseded files and
+    refresh.  Returns (refreshed table relation, dirty bucket ids).  Crash
+    mid-rewrite is recoverable: the bucketed table is derived state,
+    rebuilt from the url_seen snapshot on resume."""
+    import os
+
+    files = bucket_files(location)
+    dirty = sorted(b for b, fs in files.items() if len(fs) > max_files)
+    if not dirty:
+        return spark.table(table), []
+    old_files = [f for b in dirty for f in files[b]]
+    (
+        spark.read.parquet(*old_files)
+        .select(*SEEN_KEY_COLS)
+        .repartition(n_buckets, *SEEN_KEY_COLS)
+        .write.bucketBy(n_buckets, *SEEN_KEY_COLS)
+        .sortBy(*SEEN_KEY_COLS)
+        .format("parquet")
+        .mode("append")
+        .saveAsTable(table)
+    )
+    for f in old_files:
+        os.remove(f)
+        crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    spark.catalog.refreshTable(table)
+    return spark.table(table), dirty
 
 
 def anti_join_seen_parts(candidates: DataFrame, parts: list[DataFrame]) -> DataFrame:
