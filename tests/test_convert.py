@@ -269,6 +269,52 @@ def make_pdf(paragraphs: list[str], compress: bool = False) -> bytes:
     return bytes(out)
 
 
+def make_cid_pdf(
+    text: str, with_tounicode: bool = True, compress_cmap: bool = True
+) -> bytes:
+    """A Type0/Identity-H PDF showing ``text`` as 2-byte CIDs with
+    CID = codepoint + 0x100 (so nothing decodes correctly without the
+    ToUnicode CMap), plus a bfchar-mapped '€' and a list-form bfrange
+    'AB' appended — all three CMap section shapes exercised."""
+    import zlib
+
+    cids = [ord(ch) + 0x100 for ch in text] + [0x9999, 0x0300, 0x0301]
+    hexstr = "".join(f"{c:04X}" for c in cids)
+    content = f"BT /F1 12 Tf 72 720 Td <{hexstr}> Tj ET".encode()
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<9999> <20AC>\nendbfchar\n"
+        b"2 beginbfrange\n<0100> <02FF> <0000>\n"
+        b"<0300> <0301> [<0041> <0042>]\nendbfrange\n"
+        b"endcmap\nend\nend\n"
+    )
+    cmap_filt = b""
+    if compress_cmap:
+        cmap = zlib.compress(cmap)
+        cmap_filt = b" /Filter /FlateDecode"
+    font = b"<< /Type /Font /Subtype /Type0 /BaseFont /Test /Encoding /Identity-H"
+    if with_tounicode:
+        font += b" /ToUnicode 6 0 R"
+    font += b" >>"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        font,
+        b"<< /Length " + str(len(cmap)).encode() + cmap_filt
+        + b" >>\nstream\n" + cmap + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    for i, o in enumerate(objs, start=1):
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
 class TestPdf:
     def test_pdf_text_runs(self):
         out = convert.pdf_to_txt(make_pdf(["Første avsnitt.", "Andre (del) to."]))
@@ -287,6 +333,38 @@ class TestPdf:
         pdf = pdf.replace(b"stream\n", b"stream\n" + raw, 1)
         text = convert.pdf_to_txt(pdf).decode("utf-8")
         assert "En til" in text.replace("  ", " ")
+
+    def test_pdf_cid_tounicode(self):
+        """Round 6 (VERDICT r5 #2): a CID/Type0 PDF with a /ToUnicode CMap
+        extracts the real text — bfchar, plain bfrange (last-unit
+        increment), and list-form bfrange all mapped; the CMap stream is
+        Flate-compressed like real-web PDFs."""
+        text = "Čeština má háčky"
+        out = convert.pdf_to_txt(make_cid_pdf(text)).decode("utf-8")
+        assert text + "€AB" in out
+        # uncompressed CMap variant
+        out2 = convert.pdf_to_txt(
+            make_cid_pdf(text, compress_cmap=False)
+        ).decode("utf-8")
+        assert text + "€AB" in out2
+
+    def test_pdf_cid_without_tounicode_yields_empty(self):
+        """A Type0 font with NO usable ToUnicode shows glyph indices, not
+        characters — the converter must yield b'' (the missing-converter
+        contract), never NUL-laden latin-1 garbage."""
+        assert convert.pdf_to_txt(make_cid_pdf("text", with_tounicode=False)) == b""
+
+    def test_pdf_mixed_simple_and_cid_fonts(self):
+        """Font state is tracked per show op: a simple-font string after a
+        CID run still decodes latin-1."""
+        pdf = make_cid_pdf("Guten Tag")
+        pdf = pdf.replace(
+            b" ET", b" /F9 10 Tf (plain latin suffix) Tj ET", 1
+        )
+        # /F9 is not in any resource dict → simple-font latin-1 path
+        out = convert.pdf_to_txt(pdf).decode("utf-8")
+        assert "Guten Tag€AB" in out
+        assert "plain latin suffix" in out
 
     def test_pdf_page_produces_prevert_doc(self, monkeypatch):
         monkeypatch.setattr(config, "CONVERSION_ENABLED", True)
