@@ -923,9 +923,12 @@ def _ann_ivf_expected_path(
     diverge on exact ties.
 
     oracle_sql() has no sf parameter, so rows carry a content
-    discriminator — (n_vecs, fp_sum = round(sum of first components, 3))
-    — and the oracle filters on the live embeddings view's own
-    fingerprint.  Cache keyed on all embeddings content + params."""
+    discriminator — (n_vecs, fp_sum = round(sum of first components, 3),
+    fp_sum2 = same over LAST components) — and the oracle filters on the
+    live embeddings view's own fingerprint.  A collision between datasets
+    on the full discriminator RAISES instead of silently serving one
+    dataset's expectations for the other (ADVICE r5).  Cache keyed on all
+    embeddings content + params."""
     import glob
     import hashlib
     from math import sqrt
@@ -960,20 +963,27 @@ def _ann_ivf_expected_path(
         return acc
 
     cols = {"query_id": [], "neighbor_id": [], "cos": [], "rank": [],
-            "n_vecs": [], "fp_sum": []}
+            "n_vecs": [], "fp_sum": [], "fp_sum2": []}
     seen_fps = set()
     for f in files:
         tbl = pq.read_table(f, columns=["vec_id", "embedding"]).to_pydict()
         ids = tbl["vec_id"]
         embs = [[float(x) for x in e] for e in tbl["embedding"]]
         n_vecs = len(ids)
-        fp_sum = _duckdb.sql(
-            f"SELECT round(sum(embedding[1]::DOUBLE), 3) "
+        fp_sum, fp_sum2 = _duckdb.sql(
+            f"SELECT round(sum(embedding[1]::DOUBLE), 3), "
+            f"round(sum(embedding[len(embedding)]::DOUBLE), 3) "
             f"FROM read_parquet('{f}')"
-        ).fetchone()[0]
-        if (n_vecs, fp_sum) in seen_fps:
-            continue  # identical fingerprint: the filter can't tell them apart
-        seen_fps.add((n_vecs, fp_sum))
+        ).fetchone()
+        if (n_vecs, fp_sum, fp_sum2) in seen_fps:
+            raise RuntimeError(
+                f"ann_ivf oracle: embeddings dataset {f} collides with "
+                f"another sf on the content discriminator "
+                f"(n_vecs={n_vecs}, fp_sum={fp_sum}, fp_sum2={fp_sum2}) — "
+                "the oracle WHERE clause could not tell them apart; "
+                "extend the discriminator"
+            )
+        seen_fps.add((n_vecs, fp_sum, fp_sum2))
         units = [
             [x / sqrt(fold_sq(e)) for x in e] for e in embs
         ]
@@ -1075,6 +1085,7 @@ def _ann_ivf_expected_path(
             cols["rank"].append(rk)
             cols["n_vecs"].append(n_vecs)
             cols["fp_sum"].append(fp_sum)
+            cols["fp_sum2"].append(fp_sum2)
     pq.write_table(
         pa.table({
             "query_id": pa.array(cols["query_id"], type=pa.int64()),
@@ -1083,6 +1094,7 @@ def _ann_ivf_expected_path(
             "rank": pa.array(cols["rank"], type=pa.int32()),
             "n_vecs": pa.array(cols["n_vecs"], type=pa.int64()),
             "fp_sum": pa.array(cols["fp_sum"], type=pa.float64()),
+            "fp_sum2": pa.array(cols["fp_sum2"], type=pa.float64()),
         }),
         out,
     )
@@ -1099,7 +1111,9 @@ def q_ann_ivf(spark, sf, n_queries=10, k=5):
     k-means|| variant stays in the library as similarity.ann_ivf_topk."""
     emb = _emb(spark, sf)
     # cached: feeds both the gate aggregate and the final union — without
-    # it one action runs the broadcast search twice (n_queries × k rows)
+    # it one action runs the broadcast search twice (n_queries × k rows).
+    # Lifecycle is caller-owned (this returns a lazy plan): long-lived
+    # sessions clear between entries — bench.run_queries clearCache()s
     ivf = similarity.ann_ivf_det_topk(emb, n_queries=n_queries, k=k).cache()
     bf = similarity.ann_bruteforce_topk(emb, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
@@ -1162,8 +1176,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64_pairs": lambda s, sf: dedup_text.simhash64_dup_pairs(
             _docs(s, sf)
         ),
+        # threshold 0.08 (not the production 0.5): the testdata corpus has
+        # exactly ONE pair above 0.5 — a near-vacuous hash match (VERDICT
+        # r5 #6); 0.08 puts 44 pairs (sf0.01) / 52 (sf0.001) under the
+        # value-hash oracle so the whole gram/intersection/union pipeline
+        # is actually exercised
         "dedup_ngram_jaccard": lambda s, sf: dedup_text.ngram_jaccard_pairs(
-            _docs(s, sf), threshold=0.5
+            _docs(s, sf), threshold=0.08
         ),
         "dedup_embedding_cosine": lambda s, sf: similarity.cosine_pairs(
             _emb(s, sf), threshold=0.3
@@ -1327,7 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_onion": dedup_text.ONION_ORACLE,
         "dedup_simhash64": dedup_text.SIMHASH64_ORACLE,
         "dedup_simhash64_pairs": dedup_text.SIMHASH64_PAIRS_ORACLE,
-        "dedup_ngram_jaccard": dedup_text.ngram_jaccard_oracle(threshold=0.5),
+        "dedup_ngram_jaccard": dedup_text.ngram_jaccard_oracle(threshold=0.08),
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -1413,5 +1432,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_vecs = (SELECT count(*) FROM embeddings)
               AND abs(fp_sum - (SELECT round(sum(embedding[1]::DOUBLE), 3)
                                 FROM embeddings)) < 1e-6
+              AND abs(fp_sum2 - (SELECT round(
+                                   sum(embedding[len(embedding)]::DOUBLE), 3)
+                                 FROM embeddings)) < 1e-6
         """,
     }

@@ -434,12 +434,13 @@ class CrawlDriver:
         self._seen_parts = [base]
 
     def _major_compact_seen(self) -> None:
-        """MAJOR compaction, per-bucket (round 6 — was a full-table
+        """MAJOR compaction, per-bucket binpack (round 6 — was a full-table
         rewrite): fold outstanding delta legs in first (minor append), then
-        binpack only the buckets whose file count exceeds
-        seen_major_max_files back to one sorted file each
-        (urlseen.compact_dirty_buckets).  Wall cost ∝ dirty-bucket bytes;
-        clean buckets — at 10^10 rows, the vast majority — are not read."""
+        merge the small delta files of buckets whose file count exceeds
+        seen_major_max_files (urlseen.compact_dirty_buckets).  Each
+        bucket's dominant base file is not even read unless the deltas
+        outgrew it, so major wall cost is ∝ accumulated-delta bytes — at
+        10^10 rows the base files are the table and never rewrite."""
         from .operators.urlseen import compact_dirty_buckets
 
         self._merge_seen_deltas()

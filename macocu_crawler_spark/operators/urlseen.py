@@ -319,17 +319,22 @@ def bucket_files(location: str) -> dict[int, list[str]]:
 def compact_dirty_buckets(
     spark, table: str, location: str, n_buckets: int, max_files: int = 4
 ):
-    """Per-bucket MAJOR compaction — Iceberg's binpack rewrite, scoped to
-    dirty buckets only.  Buckets holding more than ``max_files`` data files
-    (minor appends leave one file per touched bucket per compaction) are
-    rewritten to one sorted file each; CLEAN buckets' files are not even
-    read.  At 10^10 seen rows the old whole-table major was a full pass
-    over the biggest table in the system; this is ∝ dirty-bucket bytes.
+    """Per-bucket MAJOR compaction — Iceberg's binpack rewrite.  A bucket
+    is dirty when it holds more than ``max_files`` data files (every minor
+    append adds one small file per touched bucket — the table buckets on
+    the FULL seen key, so delta rows spread near-uniformly and file counts
+    grow in lock-step).  For each dirty bucket the SMALL files are merged
+    into one, and the bucket's dominant base file is NOT even read — unless
+    the small files together outgrew it, in which case the whole bucket
+    rewrites to one sorted file (the amortisation rule: rewrite bytes are
+    always ≤ 2× delta bytes).  At 10^10 seen rows the old whole-table major
+    re-sorted the biggest table in the system every time; this reads and
+    writes ∝ accumulated-delta bytes.
 
-    Mechanics: read exactly the dirty buckets' files, append them back
-    through the bucketed writer (repartition and bucketBy share Spark's
-    Murmur3 hash partitioning, so every row re-lands in its own bucket and
-    each write task emits one file), then delete the superseded files and
+    Mechanics: read exactly the selected files, append them back through
+    the bucketed writer (repartition and bucketBy share Spark's Murmur3
+    hash partitioning, so every row re-lands in its own bucket and each
+    write task emits one file), then delete the superseded files and
     refresh.  Returns (refreshed table relation, dirty bucket ids).  Crash
     mid-rewrite is recoverable: the bucketed table is derived state,
     rebuilt from the url_seen snapshot on resume."""
@@ -339,7 +344,14 @@ def compact_dirty_buckets(
     dirty = sorted(b for b, fs in files.items() if len(fs) > max_files)
     if not dirty:
         return spark.table(table), []
-    old_files = [f for b in dirty for f in files[b]]
+    old_files: list[str] = []
+    for b in dirty:
+        by_size = sorted(files[b], key=os.path.getsize)
+        largest, small = by_size[-1], by_size[:-1]
+        if sum(os.path.getsize(f) for f in small) >= os.path.getsize(largest):
+            old_files.extend(by_size)  # deltas outgrew the base: full rewrite
+        else:
+            old_files.extend(small)    # binpack the small files only
     (
         spark.read.parquet(*old_files)
         .select(*SEEN_KEY_COLS)

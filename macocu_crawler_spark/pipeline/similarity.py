@@ -324,7 +324,11 @@ def ann_lsh_with_recall(
     The LSH result is cached: it feeds both the recall aggregate and the
     final join, and without the cache each action runs the whole
     multi-table search twice (the cached relation is n_queries × k
-    rows)."""
+    rows).  Lifecycle: the cache lives until the session clears it — a
+    long-lived session running many entries should
+    spark.catalog.clearCache() between entries (bench.run_queries does),
+    since this function returns a lazy plan and cannot know when its
+    consumer's action completes (ADVICE r5)."""
     lsh = ann_lsh_topk(embeddings, n_queries=n_queries, k=k).cache()
     bf = ann_bruteforce_topk(embeddings, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
@@ -680,7 +684,13 @@ def ann_ivf_topk(
     hyperplanes cannot).  The centroid table is n_cells × dim — broadcast
     by construction.  At corpus scale n_cells grows with
     sqrt(N)·(N / target_cell_size) heuristics; the plan is invariant.
-    Recall ≥ 0.8 vs brute force is enforced in tests/test_pipeline.py.
+
+    Correctness gate: this Spark-ML k-means|| variant cannot have a
+    value-hash oracle (its RNG stream is not reproducible outside Spark);
+    its gate is tests/test_pipeline.py::TestSimilarity::
+    test_ann_ivf_recall_floor — recall ≥ 0.8 vs brute force plus
+    fixed-seed determinism.  The DRIVER entry uses ann_ivf_det_topk, the
+    deterministic quantizer with a bit-exact plain-Python oracle.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
