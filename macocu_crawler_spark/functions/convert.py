@@ -196,7 +196,10 @@ def _parse_tounicode(cmap_bytes: bytes) -> dict[int, dict[int, str]]:
                 break  # malformed section
             lo_b = _hexbytes(lo_t)
             lo = int.from_bytes(lo_b, "big")
-            hi = min(int.from_bytes(_hexbytes(hi_t), "big"), lo + _MAX_BFRANGE)
+            # cap both against DoS ranges and against codes that no longer
+            # fit the source code length (malformed hi wider than lo)
+            hi = min(int.from_bytes(_hexbytes(hi_t), "big"),
+                     lo + _MAX_BFRANGE, (1 << (8 * len(lo_b))) - 1)
             if third == b"[":  # list form: successive destinations
                 j = i + 3
                 code = lo

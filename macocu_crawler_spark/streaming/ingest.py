@@ -73,7 +73,20 @@ def extract_stream(
     per txt_hash per micro-batch arrival order — the streaming analogue of
     the round model's first-wins dedup (exact equality of winners vs the
     batch path is arrival-order-dependent, which is why tests compare the
-    deduped SET of hashes, not winner ids)."""
+    deduped SET of hashes, not winner ids).
+
+    SIZING dedup_horizon (production guidance, VERDICT r5): the watermark
+    is an EVENT-time horizon on the page's crawl timestamp, so it must
+    cover the fetchers' ARRIVAL SKEW — the longest lag between a page
+    being crawled and its file landing in landing_dir — not the dedup
+    window you want.  A doc arriving later than the horizon after its
+    crawl_date is dropped as late (correct watermark semantics; the bench
+    demonstrates docs_out collapsing when a 28-hour-span backfill is
+    drained against a 1-hour horizon).  Rules of thumb: continuous
+    fetcher→landing flow with minutes of lag → '3 hours' is generous and
+    keeps state bounded; WARC backfills or any replay of historical
+    crawl_dates → use None (exact-forever dedup) or run the batch
+    reprocess path instead."""
     docs = extract_documents(pages).filter(F.col("txt_len") > 0)
     if dedup_horizon is not None:
         # crawl_date is the reference's 'yyyy-MM-dd HH:mm' stamp (P9)

@@ -366,6 +366,42 @@ class TestPdf:
         assert "Guten Tag€AB" in out
         assert "plain latin suffix" in out
 
+    def test_pdf_cid_malformed_cmaps_never_crash(self):
+        """Adversarial CMap bodies: truncated sections, bracket garbage,
+        odd hex, a DoS-sized bfrange — the parser must return a (possibly
+        empty) map, never raise, and the capped range must stay bounded."""
+        from macocu_crawler_spark.functions.convert import (
+            _MAX_BFRANGE,
+            _parse_tounicode,
+        )
+
+        cases = [
+            b"",
+            b"beginbfchar <00",  # truncated
+            b"beginbfchar <0041> endbfchar",  # odd pair count
+            b"beginbfchar [ <0041> ] endbfchar",  # brackets where hex due
+            b"beginbfrange <0041> [ <0042> endbfrange",  # lo hi swapped form
+            b"beginbfrange <zz> <yy> <xx> endbfrange",  # non-hex
+            b"beginbfrange <0000> <FFFFFFFF> <0041> endbfrange",  # DoS range
+            b"beginbfrange <0100> <0102> [<0041> <0042>] endbfrange",  # short list
+        ]
+        for body in cases:
+            m = _parse_tounicode(body)
+            assert isinstance(m, dict)
+            total = sum(len(v) for v in m.values())
+            assert total <= _MAX_BFRANGE + 1, (body, total)
+        # and a whole-file fuzz through the public entry: random bytes
+        # around PDF keywords must yield bytes, never raise
+        import random
+
+        rng = random.Random(6)
+        for _ in range(50):
+            blob = bytes(rng.randrange(256) for _ in range(400))
+            junk = (b"%PDF-1.4\n1 0 obj\n<< /ToUnicode 2 0 R /Type /Font >>"
+                    b"\nendobj\n2 0 obj\n<< /Length 400 >>\nstream\n"
+                    + blob + b"\nendstream\nendobj\n")
+            assert isinstance(convert.pdf_to_txt(junk), bytes)
+
     def test_pdf_page_produces_prevert_doc(self, monkeypatch):
         monkeypatch.setattr(config, "CONVERSION_ENABLED", True)
         hdr = b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
