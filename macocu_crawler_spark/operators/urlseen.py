@@ -696,7 +696,14 @@ class _CuckooTable:
     def delete_bulk(self, h1: np.ndarray, h2: np.ndarray) -> int:
         """Remove ONE stored entry per key (keys must have been inserted —
         see module note).  Rows are re-compacted so occupancy counting
-        stays valid.  Returns how many entries were removed."""
+        stays valid.  Returns how many entries were removed.  The batch is
+        canonicalised to (h1, h2) order like insert_bulk, so the resulting
+        table is a pure function of the key set — the property the
+        vectorized≡distributed delete bit-identity rides on."""
+        if not len(h1):
+            return 0
+        order = np.lexsort((h2, h1))
+        h1, h2 = h1[order], h2[order]
         fp = _ck_fp(h1)
         i1, i2 = _ck_rows(h2, fp, self.mask)
         removed = 0
@@ -842,6 +849,34 @@ def delta_cuckoos(new_seen: DataFrame, blob_map_bc, n_buckets: int = 32) -> Data
     )
 
 
+def delta_cuckoo_deletes(
+    gone: DataFrame, blob_map_bc, n_buckets: int = 32
+) -> DataFrame:
+    """Distributed per-bucket cuckoo DELETE (mirror of delta_cuckoos):
+    group the retired keys by bucket, replay delete_bulk into that
+    bucket's current blob executor-side, return the new blob with the
+    removed count in n_keys.  Same O(filter size) driver collect as the
+    distributed increment."""
+
+    def delete_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        blob = blob_map_bc.value.get(bucket)
+        if blob is None:
+            return pd.DataFrame({"bucket": [bucket], "bits": [None],
+                                 "n_keys": [0]})
+        t = _CuckooTable.from_bytes(blob)
+        removed = t.delete_bulk(_as_u64(pdf["_h1"]), _as_u64(pdf["_h2"]))
+        return pd.DataFrame(
+            {"bucket": [bucket], "bits": [t.to_bytes()], "n_keys": [removed]}
+        )
+
+    return (
+        probe_hashes(gone, n_buckets)
+        .groupBy("bucket")
+        .applyInPandas(delete_bucket, schema=BLOOM_SCHEMA)
+    )
+
+
 def _cuckoo_might_contain_udf(cuckoo_map_bc):
     """Probe UDF over a sc.broadcast({bucket: blob}); same shape and the
     same broadcast-variable-not-join-column rule as _might_contain_udf."""
@@ -953,9 +988,29 @@ class CuckooState:
                 )
             self._dirty = True
 
-    def remove_seen(self, gone: DataFrame) -> int:
+    def remove_seen(self, gone: DataFrame, mode: str = "vectorized") -> int:
         """Delete keys that are being removed from the url_seen table
-        itself (module note on delete safety).  Returns entries removed."""
+        itself (module note on delete safety).  Returns entries removed.
+        ``distributed`` replays the delete per independent bucket
+        executor-side (delta_cuckoo_deletes) — the same O(filter size)
+        collect as the distributed increment; bit-identical to the
+        driver-side mode (canonical delete order)."""
+        if mode not in ("vectorized", "distributed"):
+            raise ValueError(f"unknown remove_seen mode {mode!r}")
+        if mode == "distributed":
+            sc = gone.sparkSession.sparkContext
+            bc = self.broadcast_map(sc)
+            removed = 0
+            for r in delta_cuckoo_deletes(gone, bc, self.n_buckets).collect():
+                if r["bits"] is None:
+                    continue  # keys of a bucket this filter never held
+                self.tables[int(r["bucket"])] = _CuckooTable.from_bytes(
+                    bytes(r["bits"])
+                )
+                removed += int(r["n_keys"])
+            if removed:
+                self._dirty = True
+            return removed
         pdf = probe_hashes(gone, self.n_buckets).toPandas()
         removed = 0
         for b, grp in pdf.groupby("bucket"):

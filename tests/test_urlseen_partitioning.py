@@ -592,3 +592,11 @@ class TestCuckooPrefilter:
             h1 = grp["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
             h2 = grp["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
             assert _ck_probe_blob(m[int(b)], h1, h2).all()
+        # distributed delete (round 6): same removed count, BIT-IDENTICAL
+        # final blobs (canonical delete order), executor-side replay
+        dist = CuckooState.from_url_seen(seen)
+        removed_d = dist.remove_seen(gone, mode="distributed")
+        assert removed_d == removed
+        assert dist.as_map() == m
+        with pytest.raises(ValueError, match="unknown"):
+            dist.remove_seen(gone, mode="bogus")
