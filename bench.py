@@ -1004,10 +1004,16 @@ def run_paired_ab(pages_dir: str) -> dict | None:
     """Paired A/B headline bench (VERDICT r4 task 2): cross-session box
     drift (±20%) swamps round-over-round deltas, so the PREVIOUS round's
     committed code is checked out into a worktree and the headline job is
-    run interleaved prev/cur/prev/cur in THIS session — the per-pair delta
-    is a paired sample, immune to host drift between sessions.  Each leg
-    is a fresh subprocess (own JVM, same warm-up policy), 2 measured walls
-    per leg → 4 paired samples."""
+    run interleaved with the current code in THIS session — the per-pair
+    delta is a paired sample, immune to host drift between sessions.  Each
+    leg is a fresh subprocess (own JVM, same warm-up policy), 2 measured
+    walls per leg → 4 paired samples.
+
+    Leg order is ABBA (prev,cur then cur,prev): the round-6 adjudication
+    (bench/BENCH_paired_recheck_r06.json) showed that with a fixed
+    prev-first order, monotone within-session drift aliases straight into
+    the delta (+20.8% one session, −20.3% the next, parity overall);
+    balancing the order cancels linear drift in the median."""
     import shutil
     import subprocess
 
@@ -1048,8 +1054,11 @@ def run_paired_ab(pages_dir: str) -> dict | None:
 
     pairs = []
     legs = {"prev": [], "cur": []}
-    for session in (1, 2):  # interleaved: prev, cur, prev, cur
-        for label, vdir in (("prev", worktree), ("cur", repo)):
+    orders = {1: ("prev", "cur"), 2: ("cur", "prev")}  # ABBA
+    dirs = {"prev": worktree, "cur": repo}
+    for session in (1, 2):
+        for label in orders[session]:
+            vdir = dirs[label]
             res = run_leg(vdir)
             if res is None:
                 return None
