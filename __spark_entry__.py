@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from macocu_crawler_spark.pipeline import dedup_text, similarity, textstats  # noqa: E402
+from macocu_crawler_spark.pipeline import (  # noqa: E402
+    curation, dedup_text, similarity, textstats,
+)
 from macocu_crawler_spark.streaming import windows as streamwin  # noqa: E402
 
 
@@ -1184,6 +1186,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, sf: dedup_text.ngram_jaccard_pairs(
             _docs(s, sf), threshold=0.08
         ),
+        # cluster canonicalisation over the LSH pair graph (round 6)
+        "dedup_cc_clusters": lambda s, sf: dedup_text.cc_clusters(_docs(s, sf)),
+        # Lee-et-al-style exact duplicate-span detection (round 6)
+        "dedup_dup_spans": lambda s, sf: dedup_text.dup_spans(_docs(s, sf)),
+        # benchmark n-gram decontamination (round 6)
+        "decontaminate": lambda s, sf: curation.decontaminate(_docs(s, sf)),
+        # per-language token-quota sampling (round 6)
+        "sample_lang_quota": lambda s, sf: curation.lang_quota_sample(
+            _t(s, sf, "documents")
+        ),
         "dedup_embedding_cosine": lambda s, sf: similarity.cosine_pairs(
             _emb(s, sf), threshold=0.3
         ),
@@ -1341,6 +1353,10 @@ def oracle_sql() -> dict[str, str]:
         "q_url_admission": URL_ADMISSION_ORACLE,
         "dedup_exact": dedup_text.EXACT_DEDUP_ORACLE,
         "dedup_minhash_lsh": dedup_text.MINHASH_PAIRS_ORACLE,
+        "dedup_cc_clusters": dedup_text.CC_CLUSTERS_ORACLE,
+        "dedup_dup_spans": dedup_text.DUP_SPANS_ORACLE,
+        "decontaminate": curation.DECONTAMINATE_ORACLE,
+        "sample_lang_quota": curation.LANG_QUOTA_ORACLE,
         "dedup_simhash": dedup_text.SIMHASH_ORACLE,
         "dedup_simhash_groups": dedup_text.SIMHASH_GROUPS_ORACLE,
         "dedup_onion": dedup_text.ONION_ORACLE,

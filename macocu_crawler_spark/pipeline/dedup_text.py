@@ -534,3 +534,195 @@ SELECT doc_id, n_grams, n_dup,
        round(n_dup::DOUBLE / n_grams, 4) < {ONION_THRESHOLD} AS keep
 FROM agg
 """
+
+# ---------------------------------------------------------------------------
+# near-dup cluster canonicalisation (connected components over LSH pairs)
+# ---------------------------------------------------------------------------
+# Pair lists (minhash_lsh_pairs) are only half of dedup: a corpus pipeline
+# must pick ONE canonical doc per transitive near-dup CLUSTER (a~b, b~c =>
+# {a,b,c} keep min).  The distributed form is min-label propagation over the
+# pair graph: every vertex repeatedly takes the min label among itself and
+# its neighbours.  Each round is one shuffle keyed by vertex; rounds needed
+# = graph diameter, and near-dup graphs are shallow (a cluster is a quasi-
+# clique around one source text — diameter 2-4 in practice), so this beats
+# the O(log^2 n) large-star/small-star alternation on real corpora while
+# staying a pure DataFrame loop.  Convergence is detected with a decimal
+# sum aggregate (labels only ever decrease; the sum is strictly decreasing
+# until fixpoint), one tiny action per round.
+
+def cc_clusters(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_rep, cluster_size) for EVERY document: cluster_rep
+    is the min doc_id reachable through near-dup pair edges (singletons
+    are their own rep), cluster_size the member count.  Pairs default to
+    minhash_lsh_pairs; any (doc_a, doc_b) pair source (simhash64 bands,
+    embedding cosine) clusters the same way."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents)
+    pairs = pairs.select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").persist()
+    # every iteration references `labels` TWICE (union + join), so a
+    # persist()-only loop doubles the LOGICAL plan each round (persist
+    # short-circuits execution, not analysis) and Catalyst OOMs around
+    # iteration 20 on 2^20 nodes.  localCheckpoint truncates the lineage
+    # to a LogicalRDD each round — the iterative-algorithm contract; its
+    # blocks are freed when the superseded DataFrame is GC'd.
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    if prev is not None:  # empty pair graph -> all singletons, skip the loop
+        for _ in range(max_iters):
+            neigh = edges.join(
+                labels.withColumnRenamed("v", "dst"), "dst"
+            ).select(F.col("src").alias("v"), "lbl")
+            labels = (
+                labels.union(neigh).groupBy("v").agg(F.min("lbl").alias("lbl"))
+            ).localCheckpoint(eager=True)
+            cur = labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if cur == prev:
+                break
+            prev = cur
+    final = labels
+    edges.unpersist(blocking=False)
+    lab = (
+        documents.select("doc_id")
+        .join(final.withColumnRenamed("v", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("cluster_rep")
+        )
+    )
+    # size via aggregate + join, not a window: a 10^7-member boilerplate
+    # cluster would buffer as ONE window group, while the aggregate
+    # combines map-side and AQE splits the skewed join key
+    sizes = lab.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+    return lab.join(sizes, "cluster_rep").select(
+        "doc_id", "cluster_rep", "cluster_size"
+    )
+
+
+CC_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_PAIRS_ORACLE}) mp
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), reps AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_rep FROM reach GROUP BY u
+), lab AS (
+  SELECT d.doc_id, coalesce(r.cluster_rep, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN reps r USING (doc_id)
+)
+SELECT doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM lab
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span detection (exact substring dedup, window-granular)
+# ---------------------------------------------------------------------------
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") removes exact substrings >= ~50 tokens shared across documents.
+# The suffix-array construction they use is replaced here by the
+# distributable window form: hash every W-token window, find hashes seen in
+# MORE THAN ONE doc (one map-side-combined aggregate keyed by hash — the
+# only big shuffle), then merge each doc's duplicated windows into maximal
+# spans with a gaps-and-islands window over (doc_id, position) — per-doc
+# group size is bounded by document length, never corpus size.  W-granular
+# means a shared substring is reported iff it spans >= W tokens, and span
+# boundaries are token-exact at both ends (every covered window is dup).
+
+DUP_SPAN_W = 8
+
+
+def dup_spans(documents: DataFrame, window: int = DUP_SPAN_W) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): maximal token-index spans
+    [span_start, span_end] (1-based, inclusive) covered by `window`-token
+    windows that also occur verbatim in at least one OTHER document."""
+    wins = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) >= {window} THEN "
+                f"transform(sequence(1, size(split(text, ' ')) - {window} + 1),"
+                f" i -> named_struct('i', i, 'h',"
+                f" md5(concat_ws(' ', slice(split(text, ' '), i, {window}))))) "
+                f"ELSE array() END"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+    cross_doc = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    dup = wins.join(cross_doc, "h").withColumn(
+        "e", F.col("i") + F.lit(window - 1)
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("i")
+    prev_max_end = F.max("e").over(
+        by_pos.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(prev_max_end.isNull() | (F.col("i") > prev_max_end), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(by_pos))
+    return (
+        flagged.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+DUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks
+), wins AS (
+  SELECT doc_id, i, md5(array_to_string(t[i:i+{DUP_SPAN_W - 1}], ' ')) AS h
+  FROM pos WHERE i <= len(t) - {DUP_SPAN_W} + 1
+), cross_doc AS (
+  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1
+), dup AS (
+  SELECT doc_id, i, i + {DUP_SPAN_W - 1} AS e FROM wins
+  WHERE h IN (SELECT h FROM cross_doc)
+), flagged AS (
+  SELECT doc_id, i, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR i > max(e) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_span
+  FROM dup
+), sp AS (
+  SELECT doc_id, i, e,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+  FROM flagged
+)
+SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
+FROM sp GROUP BY doc_id, span_id
+"""

@@ -97,6 +97,200 @@ class TestDedup:
         assert pairs0.filter(F.col("doc_b") >= 300000).first().hamming == 0
 
 
+class TestClusterCanon:
+    def test_cc_transitive_chain_converges(self, spark):
+        """A path graph 1-2-3-...-8 (diameter 7, needs multiple label-
+        propagation rounds) collapses to one cluster with rep=1; an
+        isolated pair and a singleton stay separate."""
+        from macocu_crawler_spark.pipeline.dedup_text import cc_clusters
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(1, 12)], "doc_id long, text string"
+        )
+        chain = [(i, i + 1) for i in range(1, 8)]  # 1..8 path
+        pairs = spark.createDataFrame(
+            chain + [(9, 10)], "doc_a long, doc_b long"
+        )
+        out = {r.doc_id: r for r in cc_clusters(docs, pairs=pairs).collect()}
+        assert set(out) == set(range(1, 12))
+        for i in range(1, 9):
+            assert out[i].cluster_rep == 1 and out[i].cluster_size == 8
+        for i in (9, 10):
+            assert out[i].cluster_rep == 9 and out[i].cluster_size == 2
+        assert out[11].cluster_rep == 11 and out[11].cluster_size == 1
+
+    def test_cc_no_pairs_all_singletons(self, spark):
+        from macocu_crawler_spark.pipeline.dedup_text import cc_clusters
+
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        out = {r.doc_id: r for r in cc_clusters(docs, pairs=pairs).collect()}
+        assert all(
+            r.cluster_rep == d and r.cluster_size == 1 for d, r in out.items()
+        )
+
+    def test_cc_identical_docs_cluster_via_minhash(self, spark, docs):
+        """Default pair source: two identical copies of one doc cluster
+        with the original (rep = min doc_id of the three)."""
+        from macocu_crawler_spark.pipeline.dedup_text import cc_clusters
+
+        base = docs.limit(1)
+        base_id = base.first().doc_id
+        copies = base.select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang",
+            "source", "n_chars",
+        ).unionByName(
+            base.select(
+                (F.col("doc_id") + 600000).alias("doc_id"), "text", "lang",
+                "source", "n_chars",
+            )
+        )
+        out = cc_clusters(docs.unionByName(copies))
+        hit = {
+            r.doc_id: r
+            for r in out.filter(F.col("doc_id") >= 500000).collect()
+        }
+        assert len(hit) == 2
+        for r in hit.values():
+            assert r.cluster_rep == base_id and r.cluster_size >= 3
+
+
+class TestDupSpans:
+    def test_shared_run_becomes_one_merged_span(self, spark):
+        """A 12-token run shared between two docs yields ONE maximal span
+        per doc (overlapping 8-token windows merged), token-exact at both
+        ends."""
+        from macocu_crawler_spark.pipeline.dedup_text import dup_spans
+
+        shared = " ".join(f"s{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [
+                (1, shared + " t1 t2 t3 t4 t5"),      # run at tokens 1..12
+                (2, "h1 h2 h3 h4 h5 " + shared),      # run at tokens 6..17
+                (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),    # no shared window
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in dup_spans(docs).collect()}
+        assert set(rows) == {1, 2}
+        assert (rows[1].span_start, rows[1].span_end, rows[1].n_windows) == (1, 12, 5)
+        assert (rows[2].span_start, rows[2].span_end, rows[2].n_windows) == (6, 17, 5)
+
+    def test_disjoint_runs_stay_separate_spans(self, spark):
+        from macocu_crawler_spark.pipeline.dedup_text import dup_spans
+
+        run_a = " ".join(f"a{i}" for i in range(8))
+        run_b = " ".join(f"b{i}" for i in range(8))
+        gap = " ".join(f"g{i}" for i in range(8))
+        docs = spark.createDataFrame(
+            [
+                (1, f"{run_a} {gap} {run_b}"),
+                (2, run_a),
+                (3, run_b),
+            ],
+            "doc_id long, text string",
+        )
+        spans = sorted(
+            (r.span_start, r.span_end)
+            for r in dup_spans(docs).filter("doc_id = 1").collect()
+        )
+        assert spans == [(1, 8), (17, 24)]
+
+    def test_intra_doc_repeat_is_not_cross_doc(self, spark):
+        """A window repeated within ONE doc only is not a duplicate span —
+        the contract is cross-document sharing."""
+        from macocu_crawler_spark.pipeline.dedup_text import dup_spans
+
+        run = " ".join(f"r{i}" for i in range(8))
+        docs = spark.createDataFrame(
+            [(1, f"{run} x1 x2 {run}"), (2, "q0 q1 q2 q3 q4 q5 q6 q7")],
+            "doc_id long, text string",
+        )
+        assert dup_spans(docs).count() == 0
+
+
+class TestCuration:
+    def test_decontaminate_flags_benchmark_overlap(self, spark):
+        """doc 7 (doc_id % 7 == 0) is benchmark; a train doc sharing an
+        8-gram with it is flagged, others are clean; benchmark docs are
+        excluded from the output."""
+        from macocu_crawler_spark.pipeline.curation import decontaminate
+
+        bench_text = " ".join(f"b{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [
+                (7, bench_text),
+                (1, "x1 x2 " + " ".join(f"b{i}" for i in range(8))),
+                (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+                (3, "short text"),                      # < 8 tokens: no grams
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in decontaminate(docs).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1].contaminated == 1 and out[1].n_hit_grams == 1
+        assert out[2].contaminated == 0 and out[2].n_hit_grams == 0
+        assert out[3].contaminated == 0
+
+    def test_lang_quota_greedy_prefix(self, spark):
+        """Budget 3/10 of total tokens per language, longest-first, ties by
+        doc_id; the doc that CROSSES the budget is included, the next is
+        not."""
+        from macocu_crawler_spark.pipeline.curation import lang_quota_sample
+
+        def text(n, tag):
+            return " ".join(f"{tag}{i}" for i in range(n))
+
+        # en: 100 total tokens -> budget 30: take 40-token doc (crosses), stop
+        # de: 20 total -> budget 6: take the first 10-token doc (ties: doc 20)
+        docs = spark.createDataFrame(
+            [
+                (1, "en", text(40, "a")),
+                (2, "en", text(35, "b")),
+                (3, "en", text(25, "c")),
+                (20, "de", text(10, "d")),
+                (21, "de", text(10, "e")),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        out = {r.doc_id: r for r in lang_quota_sample(docs).collect()}
+        assert set(out) == {1, 20}
+        assert out[1].cum_tokens == 40
+        assert out[20].cum_tokens == 10
+
+    def test_lang_quota_two_phase_equals_naive_window(self, spark, docs):
+        """The bucketed two-phase plan must equal the naive global
+        cumulative window on the real corpus (same order, same boundary)."""
+        from pyspark.sql import Window
+        from macocu_crawler_spark.pipeline.curation import (
+            QUOTA_DEN, QUOTA_NUM, lang_quota_sample,
+        )
+
+        d = docs.select(
+            "doc_id", "lang",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        w = Window.partitionBy("lang").orderBy(
+            F.col("n_tokens").desc(), F.col("doc_id")
+        )
+        naive = (
+            d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .join(
+                d.groupBy("lang").agg(F.sum("n_tokens").alias("tt")), "lang"
+            )
+            .filter(
+                (F.col("cum_tokens") - F.col("n_tokens")) * QUOTA_DEN
+                < F.col("tt") * QUOTA_NUM
+            )
+            .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        )
+        got = lang_quota_sample(docs)
+        assert got.exceptAll(naive).count() == 0
+        assert naive.exceptAll(got).count() == 0
+
+
 class TestRoundHalfUpDifferential:
     def test_matches_spark_round_bitwise(self, spark):
         """similarity.F_round_half_up claims to be a bit-exact replica of
