@@ -1188,8 +1188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # cluster canonicalisation over the LSH pair graph (round 6)
         "dedup_cc_clusters": lambda s, sf: dedup_text.cc_clusters(_docs(s, sf)),
-        # Lee-et-al-style exact duplicate-span detection (round 6)
+        # Lee-et-al-style exact duplicate-span detection + removal (round 6)
         "dedup_dup_spans": lambda s, sf: dedup_text.dup_spans(_docs(s, sf)),
+        "dedup_remove_spans": lambda s, sf: dedup_text.remove_dup_spans(
+            _docs(s, sf)
+        ),
         # benchmark n-gram decontamination (round 6)
         "decontaminate": lambda s, sf: curation.decontaminate(_docs(s, sf)),
         # per-language token-quota sampling (round 6)
@@ -1355,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup_text.MINHASH_PAIRS_ORACLE,
         "dedup_cc_clusters": dedup_text.CC_CLUSTERS_ORACLE,
         "dedup_dup_spans": dedup_text.DUP_SPANS_ORACLE,
+        "dedup_remove_spans": dedup_text.REMOVE_DUP_SPANS_ORACLE,
         "decontaminate": curation.DECONTAMINATE_ORACLE,
         "sample_lang_quota": curation.LANG_QUOTA_ORACLE,
         "dedup_simhash": dedup_text.SIMHASH_ORACLE,

@@ -726,3 +726,89 @@ SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
        CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
 FROM sp GROUP BY doc_id, span_id
 """
+
+
+def remove_dup_spans(documents: DataFrame, window: int = DUP_SPAN_W) -> DataFrame:
+    """(doc_id, clean_text, n_removed): the removal half of exact substring
+    dedup — every token covered by a `window`-token window whose FIRST
+    occurrence (min doc_id) is in another document is cut; the first-seer
+    keeps its copy (Lee et al. 2022 keep-one semantics, onion-style
+    first-wins ownership).  Every document appears; clean_text == text
+    when nothing was removed, '' when everything was.
+
+    Plan: the window-hash ownership aggregate is the one corpus-wide
+    shuffle (map-side combined); redundant window starts then collapse to
+    ONE array row per affected doc, and the text re-attaches through a
+    doc_id-keyed join (the same re-attach shape as onion's scored join).
+    Token filtering is a JVM higher-order `filter` with an `exists` over
+    the starts array — per-doc cost O(tokens x spans), no Python."""
+    wins = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) >= {window} THEN "
+                f"transform(sequence(1, size(split(text, ' ')) - {window} + 1),"
+                f" i -> named_struct('i', i, 'h',"
+                f" md5(concat_ws(' ', slice(split(text, ' '), i, {window}))))) "
+                f"ELSE array() END"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+    owners = wins.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    starts = (
+        wins.join(owners, "h")
+        .filter(F.col("doc_id") > F.col("owner"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("starts"))
+    )
+    return (
+        documents.join(starts, "doc_id", "left")
+        .withColumn(
+            "kept",
+            F.expr(
+                f"CASE WHEN starts IS NULL THEN split(text, ' ') ELSE "
+                f"filter(split(text, ' '), (tok, j) -> NOT exists(starts,"
+                f" s -> j + 1 >= s AND j + 1 <= s + {window} - 1)) END"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("kept")).alias("clean_text"),
+            (F.size(F.split(F.col("text"), " ")) - F.size("kept"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+REMOVE_DUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks
+), wins AS (
+  SELECT doc_id, i, md5(array_to_string(t[i:i+{DUP_SPAN_W - 1}], ' ')) AS h
+  FROM pos WHERE i <= len(t) - {DUP_SPAN_W} + 1
+), own AS (
+  SELECT h, min(doc_id) AS owner FROM wins GROUP BY h
+), red AS (
+  SELECT w.doc_id, w.i FROM wins w JOIN own o USING (h)
+  WHERE w.doc_id > o.owner
+), rem AS (
+  SELECT DISTINCT p.doc_id, p.i FROM pos p
+  JOIN red r ON r.doc_id = p.doc_id
+            AND p.i >= r.i AND p.i <= r.i + {DUP_SPAN_W - 1}
+), kept AS (
+  SELECT p.doc_id, p.i, p.t[p.i] AS tok FROM pos p
+  ANTI JOIN rem USING (doc_id, i)
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), n AS (
+  SELECT doc_id, len(t) AS n_tokens FROM toks
+)
+SELECT n.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(n.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM n LEFT JOIN agg a USING (doc_id)
+"""

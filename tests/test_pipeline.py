@@ -198,6 +198,38 @@ class TestDupSpans:
         )
         assert spans == [(1, 8), (17, 24)]
 
+    def test_remove_dup_spans_first_seer_keeps(self, spark):
+        """Removal half: the min-doc_id owner keeps its copy; later docs
+        lose exactly the covered tokens; untouched docs round-trip."""
+        from macocu_crawler_spark.pipeline.dedup_text import remove_dup_spans
+
+        shared = " ".join(f"s{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [
+                (1, shared + " t1 t2"),
+                (2, "h1 h2 " + shared),
+                (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in remove_dup_spans(docs).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1].clean_text == shared + " t1 t2" and out[1].n_removed == 0
+        assert out[2].clean_text == "h1 h2" and out[2].n_removed == 10
+        assert out[3].clean_text == "u1 u2 u3 u4 u5 u6 u7 u8 u9"
+        assert out[3].n_removed == 0
+
+    def test_remove_dup_spans_full_doc_removed(self, spark):
+        from macocu_crawler_spark.pipeline.dedup_text import remove_dup_spans
+
+        t = " ".join(f"w{i}" for i in range(8))
+        docs = spark.createDataFrame(
+            [(1, t), (2, t)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in remove_dup_spans(docs).collect()}
+        assert out[1].clean_text == t and out[1].n_removed == 0
+        assert out[2].clean_text == "" and out[2].n_removed == 8
+
     def test_intra_doc_repeat_is_not_cross_doc(self, spark):
         """A window repeated within ONE doc only is not a duplicate span —
         the contract is cross-document sharing."""
