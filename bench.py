@@ -1000,6 +1000,76 @@ print("PAIRED_RESULT " + json.dumps({"walls": walls, "pages": n}))
 """
 
 
+def run_cc_bench(n_edges: int = 1_000_000) -> dict:
+    """Connected-components at 10^6 edges: 120k 5-vertex path-cliques (the
+    realistic shallow near-dup shape) PLUS 40 chains of 10^4 vertices
+    (diameter 10^4 — impossible for plain label propagation under the
+    20-round cap; converges only because of the pointer-jumping shortcut).
+    Validates every chain/clique collapses to its min vertex."""
+    import pyspark.sql.functions as F
+
+    from macocu_crawler_spark.pipeline.dedup_text import cc_clusters
+
+    spark = make_spark(CPUS)
+    try:
+        # vertex ids: cliques occupy [0, 600k); chains [10^6, 10^6 + 400k)
+        n_cliques, clique = 120_000, 5
+        n_chains, chain_len = 40, 10_000
+        def path_edges(n_paths: int, length: int, base: int):
+            grp = F.floor(F.col("id") / (length - 1)).cast("long")
+            off = F.col("id") % (length - 1)
+            a = F.lit(base) + grp * length + off
+            return spark.range(n_paths * (length - 1)).select(
+                a.alias("doc_a"), (a + 1).alias("doc_b")
+            )
+
+        chain_base = 1_000_000
+        clique_edges = path_edges(n_cliques, clique, 0)
+        chain_edges = path_edges(n_chains, chain_len, chain_base)
+        pairs = clique_edges.unionByName(chain_edges).cache()
+        n_pairs = pairs.count()
+        docs = (
+            spark.range(n_cliques * clique)
+            .select(F.col("id").alias("doc_id"))
+            .unionByName(
+                spark.range(chain_base, chain_base + n_chains * chain_len)
+                .select(F.col("id").alias("doc_id"))
+            )
+            .withColumn("text", F.lit(""))
+            .cache()
+        )
+        n_docs = docs.count()
+        t0 = time.time()
+        out = cc_clusters(docs, pairs=pairs).cache()
+        # correctness spot: every rep is its component's min vertex
+        bad = out.filter(
+            (F.col("cluster_rep") != (F.col("doc_id") - F.col("doc_id") % clique))
+            & (F.col("doc_id") < chain_base)
+        ).count() + out.filter(
+            (F.col("doc_id") >= chain_base)
+            & (F.col("cluster_rep") != (
+                F.lit(chain_base)
+                + (F.col("doc_id") - chain_base) - (F.col("doc_id") - chain_base) % chain_len
+            ))
+        ).count()
+        n_out = out.count()
+        wall = time.time() - t0
+        out.unpersist()
+        pairs.unpersist()
+        docs.unpersist()
+        log(f"cc_at_1e6: {n_out} vertices labelled in {wall:.1f}s, bad={bad}")
+        return {
+            "edges": n_pairs,
+            "vertices": n_docs,
+            "chain_diameter": chain_len - 1,
+            "sec": round(wall, 2),
+            "edges_per_sec": round(n_pairs / wall, 0),
+            "wrong_reps": bad,
+        }
+    finally:
+        spark.stop()
+
+
 def run_paired_ab(pages_dir: str) -> dict | None:
     """Paired A/B headline bench (VERDICT r4 task 2): cross-session box
     drift (±20%) swamps round-over-round deltas, so the PREVIOUS round's
@@ -1174,6 +1244,7 @@ def main() -> None:
     cuckoo = run_cuckoo_bench() if full else None
     seen_join = run_seen_join_bench() if full else None
     seen_compaction = run_seen_compaction_bench() if full else None
+    cc = run_cc_bench() if full else None
     skew = run_skew_bench()
     ip_skew = run_ip_skew_bench()
     queries = run_queries()
@@ -1226,6 +1297,8 @@ def main() -> None:
         detail["seen_join_at_1e7"] = seen_join
     if seen_compaction is not None:
         detail["seen_compaction_at_1e7"] = seen_compaction
+    if cc is not None:
+        detail["cc_at_1e6"] = cc
     if wide_crawl is not None:
         detail["wide_crawl_at_select_cap"] = wide_crawl
     if paired is not None:

@@ -541,14 +541,16 @@ FROM agg
 # Pair lists (minhash_lsh_pairs) are only half of dedup: a corpus pipeline
 # must pick ONE canonical doc per transitive near-dup CLUSTER (a~b, b~c =>
 # {a,b,c} keep min).  The distributed form is min-label propagation over the
-# pair graph: every vertex repeatedly takes the min label among itself and
-# its neighbours.  Each round is one shuffle keyed by vertex; rounds needed
-# = graph diameter, and near-dup graphs are shallow (a cluster is a quasi-
-# clique around one source text — diameter 2-4 in practice), so this beats
-# the O(log^2 n) large-star/small-star alternation on real corpora while
-# staying a pure DataFrame loop.  Convergence is detected with a decimal
-# sum aggregate (labels only ever decrease; the sum is strictly decreasing
-# until fixpoint), one tiny action per round.
+# pair graph — every vertex takes the min label among itself and its
+# neighbours — plus a pointer-jumping shortcut (label(v) <- label(label(v)))
+# each round, so convergence is O(log diameter): near-dup graphs are
+# shallow quasi-cliques (diameter 2-4) that finish in 2-3 rounds, and even
+# a pathological 10^5-long chain finishes in ~17.  Each round is two
+# vertex-keyed shuffles and stays a pure DataFrame loop (the same recipe
+# as the O(log^2 n) large-star/small-star alternation, with simpler
+# rounds).  Convergence is detected with a decimal sum aggregate (labels
+# only ever decrease; the sum is strictly decreasing until fixpoint), one
+# tiny action per round.
 
 def cc_clusters(
     documents: DataFrame,
@@ -581,19 +583,45 @@ def cc_clusters(
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
     if prev is not None:  # empty pair graph -> all singletons, skip the loop
+        converged = False
         for _ in range(max_iters):
             neigh = edges.join(
                 labels.withColumnRenamed("v", "dst"), "dst"
             ).select(F.col("src").alias("v"), "lbl")
+            prop = labels.union(neigh).groupBy("v").agg(
+                F.min("lbl").alias("lbl")
+            )
+            # pointer-jumping shortcut: label(v) <- label(label(v)).  One
+            # extra self-join per round turns O(diameter) convergence into
+            # O(log diameter) — a 10^5-long path needs ~17 rounds, not
+            # 10^5 (every label IS a vertex id, so the lookup always
+            # resolves; left+coalesce guards the invariant anyway).
+            lut = prop.select(
+                F.col("v").alias("lbl"), F.col("lbl").alias("lbl2")
+            )
             labels = (
-                labels.union(neigh).groupBy("v").agg(F.min("lbl").alias("lbl"))
+                prop.join(lut, "lbl", "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("lbl"), F.coalesce("lbl2", "lbl")
+                    ).alias("lbl"),
+                )
             ).localCheckpoint(eager=True)
             cur = labels.agg(
                 F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]
             if cur == prev:
+                converged = True
                 break
             prev = cur
+        if not converged:
+            # a silently-unconverged fixpoint would hand out WRONG reps;
+            # max_iters=20 with doubling covers diameter ~10^6 — hitting
+            # this means the pair graph is pathological, not the cap low
+            raise ValueError(
+                f"cc_clusters did not converge in {max_iters} rounds"
+            )
     final = labels
     edges.unpersist(blocking=False)
     lab = (

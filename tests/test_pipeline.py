@@ -119,6 +119,21 @@ class TestClusterCanon:
             assert out[i].cluster_rep == 9 and out[i].cluster_size == 2
         assert out[11].cluster_rep == 11 and out[11].cluster_size == 1
 
+    def test_cc_long_chain_needs_pointer_jumping(self, spark):
+        """A 100-vertex path has diameter 99 > max_iters: plain label
+        propagation cannot converge in 20 rounds — the pointer-jumping
+        shortcut must (O(log diameter)), ending with rep=1 everywhere."""
+        from macocu_crawler_spark.pipeline.dedup_text import cc_clusters
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(1, 101)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 100)], "doc_a long, doc_b long"
+        )
+        out = cc_clusters(docs, pairs=pairs).collect()
+        assert all(r.cluster_rep == 1 and r.cluster_size == 100 for r in out)
+
     def test_cc_no_pairs_all_singletons(self, spark):
         from macocu_crawler_spark.pipeline.dedup_text import cc_clusters
 
