@@ -673,7 +673,15 @@ FROM lab
 # MORE THAN ONE doc (one map-side-combined aggregate keyed by hash — the
 # only big shuffle), then merge each doc's duplicated windows into maximal
 # spans with a gaps-and-islands window over (doc_id, position) — per-doc
-# group size is bounded by document length, never corpus size.  W-granular
+# group size is bounded by document length, never corpus size.  The window
+# stream is derived twice (once into the ownership aggregate, once into
+# the probe join — the same shape as onion_dedup): Catalyst cannot reuse
+# the exchange because the two branches shuffle different shapes, so the
+# corpus is tokenised+hashed twice.  That is deliberate — the single-pass
+# alternative (collect_list of (doc_id, pos) per hash) buffers a hot
+# boilerplate window's 10^7 occurrences as ONE aggregation group, while
+# the join form is AQE-skew-splittable; the extra pass is embarrassingly
+# parallel map work with no extra shuffle.  W-granular
 # means a shared substring is reported iff it spans >= W tokens, and span
 # boundaries are token-exact at both ends (every covered window is dup).
 
