@@ -51,28 +51,43 @@ def _distinct_grams(n: int):
 
 
 def decontaminate(
-    documents: DataFrame, n: int = DECON_N, bench_mod: int = BENCH_MOD
+    documents: DataFrame,
+    n: int = DECON_N,
+    bench_mod: int = BENCH_MOD,
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, n_hit_grams, contaminated) for every NON-benchmark doc:
-    n_hit_grams counts the doc's distinct n-grams that also occur in any
-    benchmark doc (doc_id % bench_mod == 0), the GPT-3-style n-gram
-    overlap decontamination rule."""
+    """(doc_id, n_hit_grams, contaminated): n_hit_grams counts a doc's
+    distinct n-grams that also occur in any benchmark doc — the GPT-3-style
+    n-gram overlap decontamination rule.
+
+    Two forms: pass `benchmark` (any DataFrame with a `text` column — the
+    production shape, a static eval-set table, tiny → broadcast) to score
+    EVERY input doc against it; or omit it and the benchmark set is carved
+    out of the corpus by doc_id % bench_mod == 0 (the self-contained form
+    the driver entry uses; carved docs are excluded from the output)."""
     grams = documents.select(
         "doc_id", F.explode(_distinct_grams(n)).alias("g")
     )
-    bench = (
-        grams.filter(F.col("doc_id") % bench_mod == 0).select("g").distinct()
-    )
-    train = grams.filter(F.col("doc_id") % bench_mod != 0)
+    if benchmark is not None:
+        bench = F.broadcast(
+            benchmark.select(F.explode(_distinct_grams(n)).alias("g")).distinct()
+        )
+        train = grams
+        base = documents.select("doc_id")
+    else:
+        bench = (
+            grams.filter(F.col("doc_id") % bench_mod == 0)
+            .select("g").distinct()
+        )
+        train = grams.filter(F.col("doc_id") % bench_mod != 0)
+        base = documents.filter(F.col("doc_id") % bench_mod != 0).select("doc_id")
     hits = (
         train.join(bench, "g", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("hits"))
     )
     return (
-        documents.filter(F.col("doc_id") % bench_mod != 0)
-        .select("doc_id")
-        .join(hits, "doc_id", "left")
+        base.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("hits", F.lit(0)).cast("long").alias("n_hit_grams"),

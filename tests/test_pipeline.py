@@ -281,6 +281,28 @@ class TestCuration:
         assert out[2].contaminated == 0 and out[2].n_hit_grams == 0
         assert out[3].contaminated == 0
 
+    def test_decontaminate_explicit_benchmark_table(self, spark):
+        """Production form: an explicit benchmark DataFrame scores EVERY
+        input doc (no mod carve-out), broadcast-joined."""
+        from macocu_crawler_spark.pipeline.curation import decontaminate
+
+        bench = spark.createDataFrame(
+            [(0, " ".join(f"e{i}" for i in range(9)))],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (7, "p0 " + " ".join(f"e{i}" for i in range(8))),  # overlaps
+                (14, "z0 z1 z2 z3 z4 z5 z6 z7 z8"),                # clean
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in decontaminate(docs, benchmark=bench).collect()}
+        # both docs scored, including ones a mod-7 carve-out would drop
+        assert set(out) == {7, 14}
+        assert out[7].contaminated == 1 and out[7].n_hit_grams == 1
+        assert out[14].contaminated == 0
+
     def test_lang_quota_greedy_prefix(self, spark):
         """Budget 3/10 of total tokens per language, longest-first, ties by
         doc_id; the doc that CROSSES the budget is included, the next is
