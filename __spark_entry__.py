@@ -1205,6 +1205,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh": lambda s, sf: similarity.cosine_pairs_lsh(
             _emb(s, sf), threshold=0.3
         ),
+        # semantic dedup clusters: cc over the cosine-LSH pair graph (round 6)
+        "dedup_semantic_clusters": lambda s, sf: similarity.semantic_clusters(
+            _emb(s, sf)
+        ),
         "ann_bruteforce_topk": lambda s, sf: similarity.ann_bruteforce_topk(_emb(s, sf)),
         "text_token_stats": lambda s, sf: textstats.token_stats(_docs(s, sf)),
         "text_subword_stats": lambda s, sf: textstats.subword_token_stats(
@@ -1376,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4) >= 0.3
         """,
+        "dedup_semantic_clusters": similarity.semantic_clusters_oracle(),
         "dedup_embedding_cosine_lsh": similarity.cosine_pairs_lsh_oracle(
             threshold=0.3
         ),

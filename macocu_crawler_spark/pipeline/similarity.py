@@ -124,6 +124,56 @@ WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[
 """
 
 
+def semantic_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    max_iters: int = 20,
+) -> DataFrame:
+    """(vec_id, cluster_rep, cluster_size) for EVERY embedding: transitive
+    closure of the cosine_pairs_lsh near-dup graph — semantic dedup's
+    cluster-canonicalisation step (keep vec_id == cluster_rep, drop the
+    rest).  Pure composition: the LSH-bucketed pair join bounds the pair
+    space, and dedup_text.cc_clusters (min-label propagation + pointer
+    jumping, O(log diameter) rounds) collapses the clusters — the same
+    loop that canonicalises text near-dups, fed by embedding pairs."""
+    from macocu_crawler_spark.pipeline import dedup_text
+
+    pairs = cosine_pairs_lsh(embeddings, threshold, n_planes).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    docs = embeddings.select(F.col("vec_id").alias("doc_id"))
+    return dedup_text.cc_clusters(docs, pairs=pairs, max_iters=max_iters).select(
+        F.col("doc_id").alias("vec_id"), "cluster_rep", "cluster_size"
+    )
+
+
+def semantic_clusters_oracle(threshold: float = 0.3, n_planes: int = 4) -> str:
+    """Recursive-CTE transitive closure over the cosine_pairs_lsh oracle."""
+    pairs_sql = cosine_pairs_lsh_oracle(threshold, n_planes)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a, vec_b FROM ({pairs_sql}) q
+), edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), reps AS (
+  SELECT u AS vec_id, least(u, min(v)) AS cluster_rep FROM reach GROUP BY u
+), lab AS (
+  SELECT e.vec_id, coalesce(r.cluster_rep, e.vec_id) AS cluster_rep
+  FROM embeddings e LEFT JOIN reps r USING (vec_id)
+)
+SELECT vec_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM lab
+"""
+
+
 def ann_bruteforce_topk(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:

@@ -72,7 +72,7 @@ def test_every_query_runs_and_oracles_cover(entrymod):
         "dedup_onion", "dedup_ngram_jaccard", "dedup_embedding_cosine",
         "dedup_embedding_cosine_lsh",
         "dedup_cc_clusters", "dedup_dup_spans", "dedup_remove_spans",
-        "decontaminate", "sample_lang_quota",
+        "dedup_semantic_clusters", "decontaminate", "sample_lang_quota",
         "ann_bruteforce_topk", "text_token_stats", "text_subword_stats",
         "text_quality_scores",
         "doc_fingerprints",
