@@ -126,7 +126,13 @@ def lang_quota_sample(
     longest documents first, ties by doc_id; a doc is taken while the
     budget is not yet exhausted BEFORE it (so the boundary doc that
     crosses the budget is included).  Integer arithmetic throughout —
-    no float budget comparisons to diverge between engines."""
+    no float budget comparisons to diverge between engines.
+
+    Caveat: phase 2's window partitions by (lang, n_tokens), which is
+    bounded by the docs SHARING one exact length — degenerate only for a
+    corpus with a single dominant length (e.g. all-20-token snippets);
+    there, sub-bucket the boundary length by hash(doc_id) ranges and
+    prefix-sum those sub-buckets the same way phase 1 does lengths."""
     d = documents.select(
         "doc_id", "lang",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
