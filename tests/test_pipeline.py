@@ -172,6 +172,27 @@ class TestClusterCanon:
             assert r.cluster_rep == base_id and r.cluster_size >= 3
 
 
+class TestSemanticClusters:
+    def test_near_identical_embeddings_cluster(self, spark):
+        """Two near-identical vectors cluster (rep = min vec_id); an
+        orthogonal vector stays a singleton.  Composition check:
+        cosine_pairs_lsh pairs -> cc_clusters closure."""
+        from macocu_crawler_spark.pipeline.similarity import semantic_clusters
+
+        base = [1.0, 0.2, 0.1, 0.05] * 4           # dim 16
+        near = [1.0, 0.2, 0.1, 0.06] * 4           # cos ~ 1
+        far = [-1.0, 0.5, -0.3, 1.0] * 4
+        emb = spark.createDataFrame(
+            [(3, base, "a"), (7, near, "a"), (9, far, "b")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        out = {r.vec_id: r for r in semantic_clusters(emb, threshold=0.9).collect()}
+        assert set(out) == {3, 7, 9}
+        assert out[3].cluster_rep == 3 and out[7].cluster_rep == 3
+        assert out[3].cluster_size == 2 and out[7].cluster_size == 2
+        assert out[9].cluster_rep == 9 and out[9].cluster_size == 1
+
+
 class TestDupSpans:
     def test_shared_run_becomes_one_merged_span(self, spark):
         """A 12-token run shared between two docs yields ONE maximal span
