@@ -52,16 +52,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reprocess path).  Scan-light single-pass queries (exact dedup,
     bucketing, regex filter, fingerprints) deliberately use the plain scan:
     shuffling the full text costs more than the one-task scan it would
-    parallelise."""
+    parallelise.
+
+    Round 7: the spread is keyed by doc_id (unique → skew-free) instead of
+    round-robin — a keyless repartition(n) first pays a local sort of its
+    input rows (spark.sql.execution.sortBeforeRepartition, guide §2.5) so
+    retried tasks reproduce their row→partition assignment; hashing the
+    unique key is deterministic without the sort and drops the
+    full-text-row sort from every _docs consumer's plan."""
     return _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
 
@@ -1195,9 +1202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # benchmark n-gram decontamination (round 6)
         "decontaminate": lambda s, sf: curation.decontaminate(_docs(s, sf)),
-        # per-language token-quota sampling (round 6)
+        # per-language token-quota sampling (round 6; _docs per ADVICE r6 —
+        # the scan+tokenize stage no longer runs as one task)
         "sample_lang_quota": lambda s, sf: curation.lang_quota_sample(
-            _t(s, sf, "documents")
+            _docs(s, sf)
         ),
         "dedup_embedding_cosine": lambda s, sf: similarity.cosine_pairs(
             _emb(s, sf), threshold=0.3

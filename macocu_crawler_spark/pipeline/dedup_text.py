@@ -94,19 +94,60 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
+def minhash_lsh_bands(documents: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): the LSH band keys, computed in WIDE form.
+
+    Round-7 plan shape: ONE groupBy(doc_id) carrying MINHASH_K parallel
+    ``min(md5(k || ':' || shingle))`` aggregates over the shingle stream
+    replaces the previous explode(k) × groupBy(doc_id, k) ×
+    groupBy(doc_id, band) pipeline — the shuffle no longer carries K× the
+    shingle rows and two of the three aggregation exchanges disappear
+    (guide §2.3 "aggregate before you shuffle" / §2.4).  Band keys are
+    identical to the old form: ``concat_ws('|', array_sort(array(m_i...)))``
+    equals ``concat_ws('|', sort_array(collect_list(minhash)))`` because
+    both sort the same band's minhash strings ascending."""
+    sh = documents.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(k), F.col("shingle")))
+            ).alias(f"m{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
+    band_size = MINHASH_K // LSH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.array(
+                            *[
+                                F.col(f"m{b * band_size + j}")
+                                for j in range(band_size)
+                            ]
+                        )
+                    ),
+                ).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return wide.select("doc_id", F.explode(band_structs).alias("p")).select(
+        "doc_id", "p.band", "p.band_key"
+    )
+
+
 def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band.
 
-    Bands: MINHASH_K/LSH_BANDS consecutive signatures concatenated.
+    Bands: MINHASH_K/LSH_BANDS consecutive signatures concatenated
+    (minhash_lsh_bands wide form).
     Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
     """
-    sig = minhash_signatures(documents)
-    band_size = MINHASH_K // LSH_BANDS
-    bands = (
-        sig.withColumn("band", (F.col("k") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
-    )
+    bands = minhash_lsh_bands(documents)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -288,11 +329,16 @@ def simhash64_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame
     max_hamming ≤ 3 by pigeonhole over 4 bands)."""
     # Each join side carries ALL four band values alongside the exploded
     # (band, band_val) key, so the full 64-bit Hamming distance is computable
-    # directly on the joined row — no verification re-join, and the expensive
-    # token aggregation appears exactly twice in the plan (the two sides of
-    # the self-join; AQE broadcasts one).  The shuffle key stays
-    # (band, band_val): bounded fan-out, never all-pairs.
-    wide = _simhash64_wide(documents)
+    # directly on the joined row — no verification re-join.  The shuffle key
+    # stays (band, band_val): bounded fan-out, never all-pairs.
+    #
+    # Round 7: the wide aggregate is localCheckpoint'd so the token
+    # explode + 2×md5 + 64-sum aggregation runs ONCE — the r6 plan
+    # evaluated the identical subtree on BOTH sides of the self-join
+    # (2× Scan/Generate/HashAggregate).  The checkpointed relation is one
+    # 5-column row per doc (guide §3.3 "materialising an intermediate
+    # truncates the plan"; cost ∝ docs, not tokens).
+    wide = _simhash64_wide(documents).localCheckpoint(eager=True)
 
     def exploded(side: str) -> DataFrame:
         pairs = F.array(
@@ -384,10 +430,20 @@ def ngram_jaccard_pairs(
     """(doc_a, doc_b, jaccard) for same-`source` doc pairs with token-
     bigram Jaccard >= threshold.  Blocking by `source` keeps the join
     quadratic only within groups (the scale-path contract)."""
+    # _shingles is array_distinct'd and doc_id is unique, so the exploded
+    # gram rows are already (doc_id, g)-distinct: the former
+    # dropDuplicates(["doc_id", "g"]) re-derived that with a full
+    # sort-aggregate shuffle of every gram row on BOTH join sides (r6 plan:
+    # 2× Exchange + 4× SortAggregate) — removed in round 7 (guide §2.4,
+    # "a distinct on data that is already unique").  n_grams likewise is
+    # just the array length — computed per doc row with no explode and no
+    # aggregation at all.
     grams = documents.select(
         "doc_id", "source", F.explode(_shingles(n)).alias("g")
-    ).dropDuplicates(["doc_id", "g"])
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    )
+    sizes = documents.select(
+        "doc_id", F.size(_shingles(n)).cast("long").alias("n_grams")
+    )
     a = grams.select("source", F.col("doc_id").alias("doc_a"), "g")
     b = grams.select("source", F.col("doc_id").alias("doc_b"), "g")
     inter = (
@@ -563,21 +619,70 @@ def cc_clusters(
     minhash_lsh_pairs; any (doc_a, doc_b) pair source (simhash64 bands,
     embedding cosine) clusters the same way."""
     if pairs is None:
-        pairs = minhash_lsh_pairs(documents)
+        # Round 7 — bucket-star contraction: the minhash pair graph within
+        # one (band, band_key) bucket is a CLIQUE (m members → m(m-1)/2
+        # pair edges; 15.7M edges over 50k docs at sf1.0), but connected
+        # components only need CONNECTIVITY, and a star — every bucket
+        # member linked to the bucket's min doc_id — has exactly the same
+        # components (any two members stay connected through the rep,
+        # transitively across buckets).  Edge count drops to ≤ LSH_BANDS
+        # per doc (200k at sf1.0, a 78× cut), which is what every
+        # propagation round then scans.  The rep is an aggregate + join,
+        # not a window, so a 10^7-member boilerplate bucket stays
+        # map-side-combined and AQE-skew-splittable; `bands` is
+        # localCheckpoint'd so the shingle→minhash aggregation runs once,
+        # not once per join branch.
+        bands = minhash_lsh_bands(documents).localCheckpoint(eager=True)
+        reps = bands.groupBy("band", "band_key").agg(
+            F.min("doc_id").alias("rep")
+        )
+        pairs = (
+            bands.join(reps, ["band", "band_key"])
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+            .distinct()
+        )
     pairs = pairs.select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").persist()
+    # both edge directions via ONE evaluation of the pair source (the r6
+    # union re-ran the whole pair join on each branch), then pre-partition
+    # AND pre-sort by dst so every propagation round's sort-merge join
+    # reuses the cached layout instead of re-exchanging + re-sorting the
+    # edge table (guide §2.4: two operations keyed the same way share one
+    # exchange) — measured 3.4 s → 1.3 s per round at sf1.0.
+    nparts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition(nparts, F.col("dst"))
+        .sortWithinPartitions("dst")
+        .persist()
+    )
     # every iteration references `labels` TWICE (union + join), so a
     # persist()-only loop doubles the LOGICAL plan each round (persist
     # short-circuits execution, not analysis) and Catalyst OOMs around
     # iteration 20 on 2^20 nodes.  localCheckpoint truncates the lineage
     # to a LogicalRDD each round — the iterative-algorithm contract; its
     # blocks are freed when the superseded DataFrame is GC'd.
+    # eager=False: the convergence-sum action right below materialises the
+    # checkpoint, so each round runs ONE job instead of a checkpoint job
+    # plus an aggregate job (round 7; same blocks, same lineage truncation)
     labels = (
         edges.select(F.col("src").alias("v")).distinct()
         .withColumn("lbl", F.col("v"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev = labels.agg(
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
@@ -607,7 +712,7 @@ def cc_clusters(
                         F.col("lbl"), F.coalesce("lbl2", "lbl")
                     ).alias("lbl"),
                 )
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             cur = labels.agg(
                 F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]

@@ -37,20 +37,50 @@ def _cos(a: str, b: str):
     return dot / (na * nb)
 
 
+def _norm_col(emb: str = "embedding"):
+    """The L2 norm of an embedding column — the EXACT subexpression _cos
+    computes per pair (same ordered fold, same sqrt), hoisted so it can be
+    evaluated once per ROW before a pair join instead of twice per PAIR
+    (guide §1.2 step 2: per-task work).  Bit-identical by construction."""
+    return F.sqrt(
+        F.aggregate(
+            F.col(emb), F.lit(0.0).cast("double"), lambda acc, v: acc + v * v
+        )
+    )
+
+
+def _cos_pre(a: str, b: str, na: str, nb: str):
+    """_cos with the two norms taken from precomputed columns: dot/(na*nb)
+    with the identical operand order, so the result bits match _cos."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    return dot / (F.col(na) * F.col(nb))
+
+
 def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
     """(vec_a, vec_b, cos) for same-label pairs above the threshold —
     embedding-cosine near-dup, blocked by `label` (the scale contract:
-    never all-pairs)."""
+    never all-pairs).
+
+    Round 7: each side's norm is computed once per row (_norm_col) and
+    carried through the join, so the per-pair work is ONE array fold (the
+    dot) instead of three — the r6 join condition re-ran both norm folds
+    for every candidate pair (~N²/labels times)."""
     a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "label"
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "label", _norm_col().alias("na"),
     )
     b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "label"
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "label", _norm_col().alias("nb"),
     )
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", F.round(_cos("ea", "eb"), 4))
+        .withColumn("cos", F.round(_cos_pre("ea", "eb", "na", "nb"), 4))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
@@ -79,17 +109,21 @@ def cosine_pairs_lsh(
         lsh_bucket_col(
             n_planes=n_planes, dim=_emb_dim(embeddings)
         ).alias("bucket"),
+        # norm once per row, not twice per pair (see cosine_pairs)
+        _norm_col().alias("nrm"),
     )
     a = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "bucket", F.col("nrm").alias("na"),
     )
     c = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "bucket", F.col("nrm").alias("nb"),
     )
     return (
         a.join(c, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", F.round(_cos("ea", "eb"), 4))
+        .withColumn("cos", F.round(_cos_pre("ea", "eb", "na", "nb"), 4))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )

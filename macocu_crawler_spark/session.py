@@ -27,6 +27,15 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", config.SHUFFLE_PARTITIONS)
     )
+    # Join strategy (guide §3.1) A/B knobs — measured in round 7 on this
+    # box: forcing shuffled-hash joins (preferSortMergeJoin=false +
+    # maxShuffledHashJoinLocalMapThreshold=128m) was a net LOSS on the
+    # bench queries (dedup_minhash_lsh 5.3→7.0 s, dedup_embedding_cosine
+    # 9.9→11.6 s, dedup_cc_clusters 22.4→29.2 s at sf1.0), so the defaults
+    # stay Spark's; the env knobs remain for cluster-side tuning where the
+    # trade-off differs (larger executors, slower disks for sort spill).
+    shj_threshold = os.environ.get("SPARK_SHJ_LOCAL_MAP_THRESHOLD", "0")
+    prefer_smj = os.environ.get("SPARK_PREFER_SORTMERGEJOIN", "true")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -34,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.join.preferSortMergeJoin", prefer_smj)
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            shj_threshold,
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
