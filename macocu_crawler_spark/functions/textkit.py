@@ -272,7 +272,8 @@ def _txt_paragraphs(text_bs: bytes):
 
 
 def any2txt(data_bs: bytes, file_type: str, error_msgs: list[str],
-            conversion_enabled: bool | None = None):
+            conversion_enabled: bool | None = None,
+            _diff_cache: dict | None = None):
     """Extract text; pick the best language by trigram difference.
 
     Reference process.py:335-396.  The reference re-runs extract_paragraphs
@@ -330,7 +331,21 @@ def any2txt(data_bs: bytes, file_type: str, error_msgs: list[str],
             or (config.ALLOW_NEARGOOD_PARAGRAPHS and p["cfclass"] == "neargood")
         ):
             p_text = boilerplate.html_escape(p["text"])
-            par_diff = lang_difference(lang_models[doc_lang], p_text)
+            # per-task memo (extract.py threads one dict per Spark task):
+            # lang_difference is pure in (model, text) and web boilerplate
+            # repeats the same paragraph across pages (~65% duplicate
+            # occurrences on the bench web), so the trigram-vector build +
+            # cosine reruns only for unseen (lang, text) pairs.  Bounded
+            # by the caller; plain calls (cache=None) are unchanged.
+            if _diff_cache is None:
+                par_diff = lang_difference(lang_models[doc_lang], p_text)
+            else:
+                _ck = (doc_lang, p_text)
+                par_diff = _diff_cache.get(_ck)
+                if par_diff is None:
+                    par_diff = lang_difference(lang_models[doc_lang], p_text)
+                    if len(_diff_cache) < 200_000:
+                        _diff_cache[_ck] = par_diff
             if par_diff <= config.LANG_DIFF_THRESHOLD_PAR:
                 if p["class"] == "good" or (
                     config.ALLOW_NEARGOOD_PARAGRAPHS and p["cfclass"] == "neargood"
@@ -441,6 +456,7 @@ def process_page(
     connect_time: str,
     ip: str | None = None,
     conversion_enabled: bool | None = None,
+    _diff_cache: dict | None = None,
 ) -> dict:
     """Full reference pipeline for one page (process.py:588-650).
 
@@ -459,7 +475,8 @@ def process_page(
     meta_enc = chared_enc = None
     html_text = ""
     extracted = any2txt(
-        html_bs, file_type, error_msgs, conversion_enabled=conversion_enabled
+        html_bs, file_type, error_msgs, conversion_enabled=conversion_enabled,
+        _diff_cache=_diff_cache,
     )
     if extracted is not None:
         lang, lang_diff = extracted[5], extracted[6]

@@ -42,6 +42,11 @@ def _make_extract_batches(conversion_enabled: bool):
 
     def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         col_names = [f.name for f in schemas.EXTRACTED.fields]
+        # one paragraph-language-score memo per TASK (guide §4.5 shape:
+        # amortised over every batch in the partition, gone when the task
+        # ends): boilerplate paragraphs repeat across pages, and
+        # lang_difference is pure in (lang, text) — see textkit.any2txt
+        diff_cache: dict = {}
         for batch in batches:
             rows = []
             for r in batch.itertuples(index=False):
@@ -50,6 +55,7 @@ def _make_extract_batches(conversion_enabled: bool):
                 row = textkit.process_page(
                     int(r.wpage_id), r.url, html, header, r.connect_time, r.ip,
                     conversion_enabled=conversion_enabled,
+                    _diff_cache=diff_cache,
                 )
                 row["ignored_links"] = [
                     {"reason": reason, "url": url}

@@ -600,37 +600,69 @@ def lloyd_fixed_point(
 
     Every op is an ordered left fold or an exact int sum, so any replica
     that processes the same vectors in the same order reproduces the
-    centroids bit-for-bit."""
-    r = F_round_half_up
-    centroids = [[r(x, 4) for x in u] for u in units[:n_cells]]
-    dim = len(units[0]) if units else 0
+    centroids bit-for-bit.
+
+    Round 7: vectorised with numpy, keeping the IEEE op sequence of the
+    scalar loop EXACTLY — the distance fold runs as elementwise
+    (d = a - b; acc = acc + d*d) across the component axis, so each
+    (vector, cell) accumulator sees the same float ops in the same order
+    as the old per-pair Python fold; the centroid mean stays an exact
+    int64 sum divided by the same (1e6 * m) float; every rounding goes
+    through _round_half_up_arr, whose ambiguous band falls back to the
+    Decimal path (see F_round_half_up).  Argmin ties break to the
+    smallest cell id (np.argmin keeps the first minimum — same rule as
+    min((d2, cell))).  The scalar trainer cost ~3 s at 4096×8×10
+    (21M interpreted folds + 3.3M Decimal roundings); the vectorised form
+    is 64 array ops per assignment pass."""
+    import numpy as np
+
+    if not units:
+        return []
+    U = np.asarray(units, dtype=np.float64)
+    cents = _round_half_up_arr(U[:n_cells].copy(), 4)
     # the 1e-6 quantisation of each component is iteration-invariant —
-    # hoist it (a Decimal op per component per iteration otherwise
-    # dominates the whole trainer)
-    scaled = [[int(r(x * 1e6, 0)) for x in u] for u in units]
-
-    def d2_of(u, c):  # ordered fold of (a-b)^2, rounded like F.round
-        acc = 0.0
-        for a, b in zip(u, c):
-            d = a - b
-            acc = acc + d * d
-        return r(acc, 4)
-
-    cells = range(len(centroids))
+    # hoist it; sums of these int64s are exactly associative, so the mean
+    # is independent of summation order by construction
+    scaled = _round_half_up_arr(U * 1e6, 0).astype(np.int64)
+    n, dim = U.shape
+    n_c = cents.shape[0]
     for _ in range(n_iter):
-        members: list[list[int]] = [[] for _ in cells]
-        for j, u in enumerate(units):
-            best = min((d2_of(u, centroids[cell]), cell) for cell in cells)
-            members[best[1]].append(j)
-        for cell in cells:
-            if members[cell]:
-                m = len(members[cell])
-                centroids[cell] = [
-                    r(float(sum(scaled[j][p] for j in members[cell]))
-                      / (1e6 * m), 4)
-                    for p in range(dim)
-                ]
-    return centroids
+        acc = np.zeros((n, n_c), dtype=np.float64)
+        for p in range(dim):
+            d = U[:, p, None] - cents[None, :, p]
+            acc += d * d
+        assign = np.argmin(_round_half_up_arr(acc, 4), axis=1)
+        for cell in range(n_c):
+            mask = assign == cell
+            m = int(mask.sum())
+            if m:
+                s = scaled[mask].sum(axis=0, dtype=np.int64)
+                cents[cell] = _round_half_up_arr(
+                    s.astype(np.float64) / (1e6 * m), 4
+                )
+    return [[float(x) for x in row] for row in cents]
+
+
+def _round_half_up_arr(a, n: int):
+    """Vectorised F_round_half_up over a numpy array: the same fast path
+    (scale, floor, off-boundary nearest integer, exact division by 10^n),
+    with the ambiguous |frac - 0.5| < 1e-9 band — and any |t| ≥ 1e12 —
+    routed element-by-element through the Decimal reference.  Returns a
+    new float64 array; -0.0 is normalised like the scalar form."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    scale = 10.0 ** n
+    t = a * scale
+    fl = np.floor(t)
+    f = t - fl
+    out = (fl + (f > 0.5)) / scale + 0.0
+    fallback = ~(np.abs(t) < 1e12) | (np.abs(f - 0.5) < 1e-9)
+    if fallback.any():
+        idx = np.nonzero(fallback)
+        vals = a[idx]
+        out[idx] = [_round_half_up_decimal(float(v), n) for v in vals]
+    return out
 
 
 def ivf_det_codebook(
@@ -672,6 +704,17 @@ def ivf_det_codebook(
     return lloyd_fixed_point(units, n_cells=n_cells, n_iter=n_iter)
 
 
+def _round_half_up_decimal(x: float, n: int) -> float:
+    """The exact (slow) Decimal form of F_round_half_up — kept as the
+    fallback for the ambiguous band and as the reference the fast path is
+    differentially tested against."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP
+    )) + 0.0
+
+
 def F_round_half_up(x: float, n: int) -> float:
     """Python replica of Spark's F.round / java BigDecimal.valueOf(x)
     .setScale(n, HALF_UP): decimal HALF_UP on the shortest string form of
@@ -679,12 +722,31 @@ def F_round_half_up(x: float, n: int) -> float:
     to 0.0 — java.math.BigDecimal has no signed zero, so F.round never
     returns -0.0 while Python's Decimal preserves the sign (e.g.
     round(-0.00395, 0): Spark 0.0, naive Decimal -0.0 — caught by the
-    bit-differential test, TestRoundHalfUpDifferential)."""
-    from decimal import ROUND_HALF_UP, Decimal
+    bit-differential test, TestRoundHalfUpDifferential).
 
-    return float(Decimal(repr(float(x))).quantize(
-        Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP
-    )) + 0.0
+    Round 7 fast path (this is the hottest call of the driver-side Lloyd
+    trainer): scale by 10^n and round to the unambiguous nearest integer
+    without Decimal.  Correct because (a) |x·10^n computed in float −
+    decimal(repr(x))·10^n| < ~1e-10 absolute for the |t| ≤ 1e7 range used
+    here, so when the scaled value is ≥ 1e-9 away from a .5 boundary both
+    paths pick the SAME grid integer, and (b) m / 10^n is a correctly
+    rounded division by an exactly representable power of ten, i.e. the
+    nearest double to the decimal m·10^-n — exactly what float(Decimal)
+    returns.  Values inside the ambiguous band (or huge) fall back to
+    Decimal.  Bit-equality with the Decimal form is pinned by
+    TestRoundHalfUpDifferential."""
+    import math
+
+    x = float(x)
+    scale = 10.0 ** n
+    t = x * scale
+    if not (abs(t) < 1e12):  # huge or NaN/inf: take the exact path
+        return _round_half_up_decimal(x, n)
+    fl = math.floor(t)
+    f = t - fl
+    if abs(f - 0.5) < 1e-9:
+        return _round_half_up_decimal(x, n)
+    return (fl + (f > 0.5)) / scale + 0.0
 
 
 def ann_ivf_det_topk(
