@@ -114,36 +114,43 @@ def sweep_frontier(
     w_pend = Window.partitionBy(*BY_HOST).orderBy(
         F.length("path").asc(), F.col("batch_id").asc(), F.col("seq").asc()
     )
-    pend_r = pending.join(ready, BY_HOST, "left").withColumn(
-        "prn", F.row_number().over(w_pend)
-    )
-    pulled = pend_r.filter(F.col("_ready") & (F.col("prn") <= k))
-    pending_left = _as_frontier(
-        pend_r.filter(F.col("_ready").isNull() | (F.col("prn") > k))
-    )
+    # Round 7: the three pending outcomes (stay pending / enqueue /
+    # overflow to waiting) are ONE row-local decision once prn, the host
+    # queue count and the global bound are attached — emitted as a single
+    # CASE projection instead of three filtered union branches.  The r6
+    # plan evaluated the per-host ranking window (Exchange + Sort + Window
+    # over the whole pending frontier) once per branch because the
+    # branches' subtrees diverge (the prn<=k branch picks up
+    # WindowGroupLimit, the others cannot), so nothing was reused
+    # (guide §2.4); the merged form ranks the frontier exactly once.
     qcounts2 = queued.groupBy(*BY_HOST).agg(F.count("*").alias("n_queued2"))
-    pulled = (
-        pulled.join(qcounts2, BY_HOST, "left")
+    pend_r = (
+        pending.join(ready, BY_HOST, "left")
+        .withColumn("prn", F.row_number().over(w_pend))
+        .join(qcounts2, BY_HOST, "left")
         .crossJoin(q_full_of(queued))  # post-rotation queue, as in the sim
         .withColumn("nq", F.coalesce("n_queued2", F.lit(0)))
     )
+    picked = F.col("_ready").isNotNull() & (F.col("prn") <= k)
     # sequential cap semantics: entry i enqueues iff nq + (i-1) <= cap,
     # AND the global bound was not already exceeded pre-sweep
     fits = ~F.col("_q_full") & (F.col("nq") + F.col("prn") - 1 <= cap)
-    enqueued = _as_frontier(
-        _with_queue_key(pulled.filter(fits), round_no, 1, "prn")
-    )
-    overflow = _as_frontier(
-        pulled.filter(~fits)
-        .withColumn("status", F.lit("waiting"))
-        .withColumn("q_round", F.lit(round_no))
-        .withColumn("q_phase", F.lit(1))
-        .withColumn("q_rank", F.col("prn").cast("int"))
+    swept = pend_r.select(
+        *BY_HOST, "path", "path_sanitised", "batch_id", "seq",
+        F.when(~picked, F.col("status"))
+        .when(fits, F.lit("queued"))
+        .otherwise(F.lit("waiting"))
+        .alias("status"),
+        F.when(~picked, F.col("q_round"))
+        .otherwise(F.lit(round_no))
+        .alias("q_round"),
+        F.when(~picked, F.col("q_phase")).otherwise(F.lit(1)).alias("q_phase"),
+        F.when(~picked, F.col("q_rank"))
+        .otherwise(F.col("prn").cast("int"))
+        .alias("q_rank"),
     )
     return (
-        pending_left
+        _as_frontier(swept)
         .unionByName(_as_frontier(queued))
-        .unionByName(enqueued)
         .unionByName(waiting)
-        .unionByName(overflow)
     )

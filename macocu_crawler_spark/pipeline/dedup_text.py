@@ -910,13 +910,20 @@ def remove_dup_spans(documents: DataFrame, window: int = DUP_SPAN_W) -> DataFram
     # starts is sorted, each start covers [s, s+W-1], and adjacent-or-
     # overlapping windows (next start ≤ prev end + 1) union into exactly
     # one interval — the same gaps-and-islands merge dup_spans uses.
+    # Linear merge: with fixed width W every interval is [x, x+W-1] and
+    # starts is ascending, so two consecutive starts belong to one span
+    # iff next <= prev + W; a span's head is a start that breaks that
+    # chain, its tail the start before the next break — heads and tails
+    # align 1:1 and zip into the disjoint spans.  (An aggregate() fold
+    # building the span array would COPY the accumulator per element —
+    # O(starts × spans) allocations, measured slower than the unmerged
+    # form at sf1.0 — the filter/zip_with form is one linear pass.)
     merged = F.expr(
-        f"aggregate(starts, CAST(array() AS array<struct<s:int,e:int>>), "
-        f"(acc, x) -> IF(size(acc) > 0 AND x <= element_at(acc, -1).e + 1, "
-        f"concat(slice(acc, 1, size(acc) - 1), "
-        f"array(named_struct('s', element_at(acc, -1).s, "
-        f"'e', x + {window} - 1))), "
-        f"concat(acc, array(named_struct('s', x, 'e', x + {window} - 1)))))"
+        f"zip_with("
+        f"filter(starts, (x, j) -> j = 0 OR x > element_at(starts, j) + {window}), "
+        f"filter(starts, (x, j) -> j = size(starts) - 1 "
+        f"OR element_at(starts, j + 2) > x + {window}), "
+        f"(h, t) -> named_struct('s', h, 'e', t + {window} - 1))"
     )
     return (
         documents.join(starts, "doc_id", "left")

