@@ -66,9 +66,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately ROUND-ROBIN (unlike _docs): hashing by vec_id aliases
+    # into the ann entries' query_id, so Catalyst elides the pre-window
+    # exchange and the whole per-pair cosine stage collapses onto the ≤10
+    # partitions the 10 query ids hash into — measured +35% on
+    # ann_bruteforce/ann_lsh at sf1.0; the sort-before-repartition cost is
+    # trivial at embedding row sizes
     return (
         _t(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
 

@@ -198,25 +198,27 @@ def simhash(documents: DataFrame) -> DataFrame:
 
     bit_j(token) = ascii(md5(token)[j]) % 2 (portable across engines);
     fingerprint bit j is 1 iff sum over tokens of (2*bit_j - 1) >= 0.
+
+    Round 7: WIDE form, same rewrite as _simhash64_wide — md5 once per
+    token and the 16 bit-position sums as parallel aggregates of ONE
+    groupBy(doc_id), instead of exploding sequence(0,15) per token (16×
+    the shuffle rows) and aggregating twice.  bit·2^j is folded into the
+    same long arithmetic (2^j exact in double for j ≤ 15, so the old
+    pow-then-cast value is identical).
     """
     tok = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-        F.md5("tok").alias("h"),
-    ).withColumn(
-        "contrib",
-        (F.ascii(F.substring(F.col("h"), F.col("j") + 1, 1)) % 2) * 2 - 1,
-    )
-    return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", F.when(F.col("s") >= 0, 1).otherwise(0))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("bit") * F.pow(F.lit(2), F.col("j")).cast("long")).alias("simhash")
-        )
-    )
+    hashed = tok.select("doc_id", F.md5("tok").alias("h"))
+    sums = [
+        F.sum((F.ascii(F.substring("h", j + 1, 1)) % 2) * 2 - 1).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*sums)
+    fingerprint = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        fingerprint = fingerprint + F.when(
+            F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return wide.select("doc_id", fingerprint.alias("simhash"))
 
 
 SIMHASH_ORACLE = f"""
@@ -441,9 +443,12 @@ def ngram_jaccard_pairs(
     grams = documents.select(
         "doc_id", "source", F.explode(_shingles(n)).alias("g")
     )
+    # localCheckpoint (50k tiny rows): sizes feeds BOTH the sa and sb join
+    # branches, and the per-doc distinct-shingle array (an interpreted
+    # higher-order transform) would otherwise be rebuilt once per branch
     sizes = documents.select(
         "doc_id", F.size(_shingles(n)).cast("long").alias("n_grams")
-    )
+    ).localCheckpoint(eager=False)
     a = grams.select("source", F.col("doc_id").alias("doc_a"), "g")
     b = grams.select("source", F.col("doc_id").alias("doc_b"), "g")
     inter = (
@@ -552,19 +557,46 @@ def onion_dedup(
     # first-seer via partial-aggregated groupBy + equi-join (NOT a window
     # over the gram partition: a boilerplate gram occurring 10^7 times
     # would buffer as ONE window group, while the aggregate combines
-    # map-side and the join is AQE-skew-splittable)
-    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    scored = grams.join(firsts, "gram").withColumn(
-        "is_dup", (F.col("doc_id") > F.col("first_doc")).cast("long")
+    # map-side and the join is AQE-skew-splittable).
+    #
+    # Round 7: only grams seen in MORE THAN ONE doc can make an occurrence
+    # duplicate (a gram confined to one doc has first_doc == doc_id), so
+    # the join side keeps just those — max(doc_id) > min(doc_id) is the
+    # exact multi-doc test without a countDistinct Expand — which shrinks
+    # the broadcast/join side from every-distinct-gram to the shared tail
+    # (guide §3.2 shape: pre-filter the build side).  n_grams is the
+    # occurrence count, a pure per-row expression (array size), so the
+    # per-doc totals no longer ride through the join; docs whose grams are
+    # all unique re-enter via the left join with n_dup = 0 — the same rows
+    # the old inner join produced, since every occurrence matched its own
+    # gram's first_doc row.
+    firsts_shared = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mx") > F.col("first_doc"))
+        .select("gram", "first_doc")
     )
+    dup_counts = (
+        grams.join(firsts_shared, "gram")
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    # occurrence count is ARITHMETIC (ntok-n+1), never build the gram
+    # array for it: size(transform(...)) is an interpreted higher-order
+    # expression that the pushed-down filter evaluates a second time —
+    # measured 15 s alone at sf1.0 vs 0.8 s for the closed form
+    ntok = F.size(F.split(F.col("text"), " "))
+    base = documents.select(
+        "doc_id",
+        F.when(ntok >= n, ntok - (n - 1)).otherwise(0).cast("long").alias("n_grams"),
+    ).filter(F.col("n_grams") > 0)
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum("is_dup").alias("n_dup"),
-        )
+        base.join(dup_counts, "doc_id", "left")
+        .withColumn("n_dup", F.coalesce("n_dup", F.lit(0)).cast("long"))
         .withColumn("dup_ratio", F.round(F.col("n_dup") / F.col("n_grams"), 4))
         .withColumn("keep", F.col("dup_ratio") < threshold)
+        .select("doc_id", "n_grams", "n_dup", "dup_ratio", "keep")
     )
 
 
@@ -809,10 +841,12 @@ def dup_spans(documents: DataFrame, window: int = DUP_SPAN_W) -> DataFrame:
             )
         ).alias("w"),
     ).select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+    # round 7: "seen in >1 doc" as max(doc_id) > min(doc_id) — the same
+    # predicate without countDistinct's Expand-based double aggregation
     cross_doc = (
         wins.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mx") > F.col("_mn"))
         .select("h")
     )
     dup = wins.join(cross_doc, "h").withColumn(
@@ -895,7 +929,18 @@ def remove_dup_spans(documents: DataFrame, window: int = DUP_SPAN_W) -> DataFram
             )
         ).alias("w"),
     ).select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
-    owners = wins.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    # round 7: a window can only be redundant (doc_id > owner) when its
+    # hash spans MORE THAN ONE doc — filtering the ownership table to
+    # max(doc_id) > min(doc_id) shrinks the join's build side from every
+    # distinct window hash to the cross-doc-shared tail (exact: windows
+    # confined to one doc always have owner == doc_id and contributed
+    # nothing downstream)
+    owners = (
+        wins.groupBy("h")
+        .agg(F.min("doc_id").alias("owner"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mx") > F.col("owner"))
+        .select("h", "owner")
+    )
     starts = (
         wins.join(owners, "h")
         .filter(F.col("doc_id") > F.col("owner"))
