@@ -430,43 +430,89 @@ def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = 0.5, n: int = 2
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for same-`source` doc pairs with token-
-    bigram Jaccard >= threshold.  Blocking by `source` keeps the join
-    quadratic only within groups (the scale-path contract)."""
-    # _shingles is array_distinct'd and doc_id is unique, so the exploded
-    # gram rows are already (doc_id, g)-distinct: the former
-    # dropDuplicates(["doc_id", "g"]) re-derived that with a full
-    # sort-aggregate shuffle of every gram row on BOTH join sides (r6 plan:
-    # 2× Exchange + 4× SortAggregate) — removed in round 7 (guide §2.4,
-    # "a distinct on data that is already unique").  n_grams likewise is
-    # just the array length — computed per doc row with no explode and no
-    # aggregation at all.
+    bigram Jaccard >= threshold.  Blocking by `source` keeps the pair
+    space quadratic only within groups (the scale-path contract).
+
+    Round 7 plan shape: ONE explode of the per-doc distinct shingles,
+    shuffled once by the blocking key into a per-group pair-count kernel
+    (guide §4.2 / §2.3: the r6 gram self-join produced 51.5M candidate
+    pair rows at sf1.0 and pushed them through a corpus-wide aggregate
+    plus two size joins; here only the O(grams) rows cross the shuffle
+    and the Python boundary, and the pair counting runs vectorised per
+    group).  EXACT, not approximate: intersection sizes are integer
+    counts of shared gram ids (grams factorised on the real strings —
+    no hashing), per-doc sizes are the group's row counts, and the only
+    float op is the single n/(na+nb-n) division followed by
+    _round_half_up_arr — the Spark-F.round bitwise replica — i.e. the
+    identical arithmetic the old JVM plan ran (verified pair-for-pair
+    equal at sf1.0 and against the unchanged DuckDB oracle).
+
+    Scale caveat (unchanged from r6): one blocking group is one task; a
+    group whose shared-gram pair space explodes needs the block-pair grid
+    extension, exactly as the join form needed AQE skew handling."""
     grams = documents.select(
         "doc_id", "source", F.explode(_shingles(n)).alias("g")
     )
-    # localCheckpoint (50k tiny rows): sizes feeds BOTH the sa and sb join
-    # branches, and the per-doc distinct-shingle array (an interpreted
-    # higher-order transform) would otherwise be rebuilt once per branch
-    sizes = documents.select(
-        "doc_id", F.size(_shingles(n)).cast("long").alias("n_grams")
-    ).localCheckpoint(eager=False)
-    a = grams.select("source", F.col("doc_id").alias("doc_a"), "g")
-    b = grams.select("source", F.col("doc_id").alias("doc_b"), "g")
-    inter = (
-        a.join(b, ["source", "g"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+    thr = float(threshold)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from macocu_crawler_spark.pipeline.similarity import (
+            _round_half_up_arr,
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+
+        ginv, _ = pd.factorize(pdf["g"], sort=False)
+        docs_u, dinv = np.unique(pdf["doc_id"].to_numpy(), return_inverse=True)
+        nd = len(docs_u)
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+        if nd < 2:
+            return empty
+        na = np.bincount(dinv, minlength=nd).astype(np.int64)
+        gcnt = np.bincount(ginv)
+        order = np.argsort(ginv, kind="stable")
+        dsorted = dinv[order]
+        starts = np.concatenate([[0], np.cumsum(gcnt)])
+        chunks = []
+        for gi in np.flatnonzero(gcnt > 1):
+            s, e = starts[gi], starts[gi + 1]
+            mem = np.sort(dsorted[s:e])  # distinct per gram (input is
+            # (doc, g)-distinct), ascending -> pairs come out doc_a < doc_b
+            ii, jj = np.triu_indices(e - s, 1)
+            chunks.append(mem[ii].astype(np.int64) * nd + mem[jj])
+        if not chunks:
+            return empty
+        codes = np.concatenate(chunks)
+        if nd * nd <= 1 << 26:  # dense count is cheaper for small groups
+            counts = np.bincount(codes, minlength=nd * nd)
+            pair_codes = np.flatnonzero(counts)
+            n_inter = counts[pair_codes]
+        else:
+            pair_codes, n_inter = np.unique(codes, return_counts=True)
+        ia, ib = pair_codes // nd, pair_codes % nd
+        jac = _round_half_up_arr(
+            n_inter.astype(np.float64)
+            / (na[ia] + na[ib] - n_inter).astype(np.float64),
+            4,
+        )
+        keep = jac >= thr
+        return pd.DataFrame(
+            {
+                "doc_a": docs_u[ia[keep]],
+                "doc_b": docs_u[ib[keep]],
+                "jaccard": jac[keep],
+            }
+        )
+
+    return grams.groupBy("source").applyInPandas(
+        fn, "doc_a long, doc_b long, jaccard double"
     )
 
 

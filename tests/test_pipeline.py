@@ -23,6 +23,73 @@ def emb(spark):
 
 
 class TestDedup:
+    def test_ngram_jaccard_kernel_matches_join_form(self, spark):
+        """Round 7 replaced ngram_jaccard_pairs' gram self-join with a
+        per-source pair-count kernel; prove exact equality against the
+        pre-round-7 JVM join form on a corpus with hot shared grams,
+        multiple sources, singleton sources and short docs."""
+        from macocu_crawler_spark.pipeline.dedup_text import (
+            _shingles,
+            ngram_jaccard_pairs,
+        )
+
+        import random
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for d in range(120):
+            src = f"s{d % 3}"
+            toks = [rng.choice(vocab) for _ in range(rng.randint(1, 40))]
+            rows.append((d, src, " ".join(toks)))
+        rows.append((900, "lonely", "a b c d e"))
+        rows.append((901, "s0", "x"))  # single-token doc
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+        def join_form(documents, threshold, n):
+            grams = documents.select(
+                "doc_id", "source", F.explode(_shingles(n)).alias("g")
+            ).dropDuplicates(["doc_id", "g"])
+            sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+            a = grams.select("source", F.col("doc_id").alias("doc_a"), "g")
+            b = grams.select("source", F.col("doc_id").alias("doc_b"), "g")
+            inter = (
+                a.join(b, ["source", "g"])
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("n_inter"))
+            )
+            sa = sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")
+            )
+            sb = sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")
+            )
+            return (
+                inter.join(sa, "doc_a").join(sb, "doc_b")
+                .withColumn(
+                    "jaccard",
+                    F.round(
+                        F.col("n_inter")
+                        / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                        4,
+                    ),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select("doc_a", "doc_b", "jaccard")
+            )
+
+        for thr in (0.02, 0.1):
+            got = sorted(
+                tuple(r) for r in ngram_jaccard_pairs(docs, thr).collect()
+            )
+            want = sorted(tuple(r) for r in join_form(docs, thr, 2).collect())
+            assert got == want, (thr, len(got), len(want))
+            if thr == 0.02:
+                assert len(got) > 5, "vacuous corpus"
+
     def test_exact_dedup_finds_injected_dup(self, spark, docs):
         from macocu_crawler_spark.pipeline.dedup_text import exact_dedup
 
