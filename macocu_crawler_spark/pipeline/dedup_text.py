@@ -426,6 +426,13 @@ SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
 # n-gram Jaccard within a blocking key
 # ---------------------------------------------------------------------------
 
+# dense-bincount cutoff (nd² cells) and emission-chunk bound for the
+# ngram pair-count kernel; module-level so the differential test can
+# force the sparse path and multi-chunk merging
+_NGRAM_DENSE_LIMIT = 1 << 26
+_NGRAM_CHUNK_ROWS = 1 << 23
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = 0.5, n: int = 2
 ) -> DataFrame:
@@ -480,22 +487,59 @@ def ngram_jaccard_pairs(
         order = np.argsort(ginv, kind="stable")
         dsorted = dinv[order]
         starts = np.concatenate([[0], np.cumsum(gcnt)])
-        chunks = []
+        # pair emission in bounded CHUNKS (~2^23 codes): hot shared grams
+        # make the raw emission Σm² per group, which must not be held in
+        # memory at once — chunks are folded into the count structure as
+        # they fill, so task memory is O(chunk + distinct pairs), not
+        # O(pair emissions)
+        dense = nd * nd <= _NGRAM_DENSE_LIMIT  # dense count for small groups
+        counts = np.zeros(nd * nd, dtype=np.int64) if dense else None
+        sparse_codes: list = []
+        sparse_counts: list = []
+        chunks: list = []
+        chunk_rows = 0
+
+        def flush():
+            nonlocal chunk_rows
+            if not chunks:
+                return
+            codes = np.concatenate(chunks)
+            chunks.clear()
+            chunk_rows = 0
+            if dense:
+                counts[:] = counts + np.bincount(codes, minlength=nd * nd)
+            else:
+                cu, cc = np.unique(codes, return_counts=True)
+                sparse_codes.append(cu)
+                sparse_counts.append(cc)
+
         for gi in np.flatnonzero(gcnt > 1):
             s, e = starts[gi], starts[gi + 1]
             mem = np.sort(dsorted[s:e])  # distinct per gram (input is
             # (doc, g)-distinct), ascending -> pairs come out doc_a < doc_b
             ii, jj = np.triu_indices(e - s, 1)
             chunks.append(mem[ii].astype(np.int64) * nd + mem[jj])
-        if not chunks:
-            return empty
-        codes = np.concatenate(chunks)
-        if nd * nd <= 1 << 26:  # dense count is cheaper for small groups
-            counts = np.bincount(codes, minlength=nd * nd)
+            chunk_rows += len(ii)
+            if chunk_rows >= _NGRAM_CHUNK_ROWS:
+                flush()
+        flush()
+        if dense:
             pair_codes = np.flatnonzero(counts)
             n_inter = counts[pair_codes]
         else:
-            pair_codes, n_inter = np.unique(codes, return_counts=True)
+            if not sparse_codes:
+                return empty
+            allc = np.concatenate(sparse_codes)
+            alln = np.concatenate(sparse_counts)
+            o = np.argsort(allc, kind="stable")
+            allc, alln = allc[o], alln[o]
+            bound = np.concatenate(
+                [[0], np.flatnonzero(allc[1:] != allc[:-1]) + 1]
+            )
+            pair_codes = allc[bound]
+            n_inter = np.add.reduceat(alln, bound)
+        if len(pair_codes) == 0:
+            return empty
         ia, ib = pair_codes // nd, pair_codes % nd
         jac = _round_half_up_arr(
             n_inter.astype(np.float64)
@@ -714,11 +758,15 @@ def cc_clusters(
         reps = bands.groupBy("band", "band_key").agg(
             F.min("doc_id").alias("rep")
         )
+        # no distinct: a doc reaching the same rep through several buckets
+        # just repeats an edge, and every consumer is a min/distinct
+        # aggregate (labels init, min-label propagation) — duplicate edges
+        # cannot change the fixpoint, and dropping the dedup removes an
+        # exchange + aggregation over the edge list
         pairs = (
             bands.join(reps, ["band", "band_key"])
             .filter(F.col("doc_id") != F.col("rep"))
             .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-            .distinct()
         )
     pairs = pairs.select("doc_a", "doc_b")
     # both edge directions via ONE evaluation of the pair source (the r6

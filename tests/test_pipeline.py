@@ -81,14 +81,30 @@ class TestDedup:
                 .select("doc_a", "doc_b", "jaccard")
             )
 
-        for thr in (0.02, 0.1):
-            got = sorted(
-                tuple(r) for r in ngram_jaccard_pairs(docs, thr).collect()
-            )
-            want = sorted(tuple(r) for r in join_form(docs, thr, 2).collect())
-            assert got == want, (thr, len(got), len(want))
-            if thr == 0.02:
-                assert len(got) > 5, "vacuous corpus"
+        from macocu_crawler_spark.pipeline import dedup_text as dt
+
+        want_low = sorted(tuple(r) for r in join_form(docs, 0.02, 2).collect())
+        assert len(want_low) > 5, "vacuous corpus"
+        # three kernel regimes: dense bincount (default), sparse merge,
+        # and sparse merge with tiny emission chunks — identical output
+        for dense_limit, chunk_rows in (
+            (dt._NGRAM_DENSE_LIMIT, dt._NGRAM_CHUNK_ROWS),
+            (1, dt._NGRAM_CHUNK_ROWS),
+            (1, 64),
+        ):
+            old = dt._NGRAM_DENSE_LIMIT, dt._NGRAM_CHUNK_ROWS
+            dt._NGRAM_DENSE_LIMIT, dt._NGRAM_CHUNK_ROWS = dense_limit, chunk_rows
+            try:
+                for thr, want in (
+                    (0.02, want_low),
+                    (0.1, sorted(tuple(r) for r in join_form(docs, 0.1, 2).collect())),
+                ):
+                    got = sorted(
+                        tuple(r) for r in ngram_jaccard_pairs(docs, thr).collect()
+                    )
+                    assert got == want, (dense_limit, chunk_rows, thr, len(got))
+            finally:
+                dt._NGRAM_DENSE_LIMIT, dt._NGRAM_CHUNK_ROWS = old
 
     def test_exact_dedup_finds_injected_dup(self, spark, docs):
         from macocu_crawler_spark.pipeline.dedup_text import exact_dedup
