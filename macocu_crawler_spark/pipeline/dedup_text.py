@@ -106,14 +106,32 @@ def minhash_lsh_bands(documents: DataFrame) -> DataFrame:
     identical to the old form: ``concat_ws('|', array_sort(array(m_i...)))``
     equals ``concat_ws('|', sort_array(collect_list(minhash)))`` because
     both sort the same band's minhash strings ascending."""
-    sh = documents.select("doc_id", F.explode(_shingles()).alias("shingle"))
-    wide = sh.groupBy("doc_id").agg(
+    # Round 7 (second pass): the K mins are PER-ROW reductions over the
+    # doc's own shingle array — no explode, no shuffle, no aggregation at
+    # all: array_min(transform(sh, s -> md5(k:s))) per k.  The shingle
+    # array is projected once and localCheckpoint'd because Catalyst's
+    # projection collapsing would otherwise inline the shingle transform
+    # into all K expressions (K× the tokenisation — measured 9.0 s vs
+    # 0.6 s at sf1.0); the checkpoint write is ∝ the same shingle bytes
+    # the removed groupBy exchange used to carry, so the 100 TB story is
+    # a wash on I/O and strictly better on compute.  Values identical:
+    # min over the same md5 set (array_min ≡ min over exploded rows).
+    # NB the per-k lambda is built by a one-arg factory — a two-parameter
+    # lambda would make transform() pass the element INDEX as the second
+    # argument and silently shadow k (caught during this rewrite by the
+    # wide-form equality check).
+    def _mk(k: int):
+        return lambda s: F.md5(F.concat_ws(":", F.lit(k), s))
+
+    sh = documents.select(
+        "doc_id", _shingles().alias("sh")
+    ).localCheckpoint(eager=False)
+    wide = sh.select(
+        "doc_id",
         *[
-            F.min(
-                F.md5(F.concat_ws(":", F.lit(k), F.col("shingle")))
-            ).alias(f"m{k}")
+            F.array_min(F.transform(F.col("sh"), _mk(k))).alias(f"m{k}")
             for k in range(MINHASH_K)
-        ]
+        ],
     )
     band_size = MINHASH_K // LSH_BANDS
     band_structs = F.array(
