@@ -65,22 +65,32 @@ def decontaminate(
     EVERY input doc against it; or omit it and the benchmark set is carved
     out of the corpus by doc_id % bench_mod == 0 (the self-contained form
     the driver entry uses; carved docs are excluded from the output)."""
-    grams = documents.select(
-        "doc_id", F.explode(_distinct_grams(n)).alias("g")
-    )
     if benchmark is not None:
+        grams = documents.select(
+            "doc_id", F.explode(_distinct_grams(n)).alias("g")
+        )
         bench = F.broadcast(
             benchmark.select(F.explode(_distinct_grams(n)).alias("g")).distinct()
         )
         train = grams
         base = documents.select("doc_id")
     else:
+        # round 7: the carve-out form uses the gram stream on BOTH sides
+        # (bench distinct + train probe), so the per-doc gram arrays are
+        # projected once and localCheckpoint'd instead of re-tokenising
+        # the corpus per branch (2.44 s → 1.34 s at sf1.0, output equal);
+        # the checkpoint write carries the same gram bytes either branch's
+        # explode produced
+        ck = documents.select(
+            "doc_id", _distinct_grams(n).alias("gs")
+        ).localCheckpoint(eager=False)
+        grams = ck.select("doc_id", F.explode("gs").alias("g"))
         bench = (
             grams.filter(F.col("doc_id") % bench_mod == 0)
             .select("g").distinct()
         )
         train = grams.filter(F.col("doc_id") % bench_mod != 0)
-        base = documents.filter(F.col("doc_id") % bench_mod != 0).select("doc_id")
+        base = ck.filter(F.col("doc_id") % bench_mod != 0).select("doc_id")
     hits = (
         train.join(bench, "g", "left_semi")
         .groupBy("doc_id")
