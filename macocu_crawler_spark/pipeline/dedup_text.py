@@ -822,10 +822,18 @@ def cc_clusters(
     # blocks are freed when the superseded DataFrame is GC'd.
     # eager=False: the convergence-sum action right below materialises the
     # checkpoint, so each round runs ONE job instead of a checkpoint job
-    # plus an aggregate job (round 7; same blocks, same lineage truncation)
+    # plus an aggregate job (round 7; same blocks, same lineage truncation).
+    # Seeding: labels start at min(v, min neighbour) — exactly one
+    # propagation step ahead of the identity labelling, for the same price
+    # (a groupBy over the edge list replaces the former distinct over it),
+    # so the loop typically converges one round earlier.  Same fixpoint:
+    # any labelling between the identity and the final minima propagates
+    # to the identical result.
     labels = (
-        edges.select(F.col("src").alias("v")).distinct()
-        .withColumn("lbl", F.col("v"))
+        edges.groupBy("dst").agg(F.min("src").alias("mn"))
+        .select(
+            F.col("dst").alias("v"), F.least("dst", "mn").alias("lbl")
+        )
         .localCheckpoint(eager=False)
     )
     prev = labels.agg(
