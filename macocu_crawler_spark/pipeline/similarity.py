@@ -38,7 +38,8 @@ def _cos(a: str, b: str):
 
 
 def _grouped_cosine_pairs(
-    embeddings: DataFrame, key: str, threshold: float
+    embeddings: DataFrame, key: str, threshold: float,
+    n_groups_hint: int | None = None,
 ) -> DataFrame:
     """All within-group pairs (vec_a < vec_b) with rounded cosine ≥
     threshold, computed per blocking-key group in numpy (guide §4.2: ship
@@ -50,42 +51,60 @@ def _grouped_cosine_pairs(
     accident: the dot/norm accumulators are built elementwise across the
     component axis (acc += x_p · y_p), which runs each pair's fold in the
     same IEEE order as F.aggregate(zip_with(...)); the division is the
-    same dot / (na · nb); and rounding goes through _round_half_up_arr,
-    the Spark-F.round replica pinned bitwise by
-    TestRoundHalfUpDifferential.  Verified pair-for-pair equal to the
-    join form on every testdata sf (150,941 pairs at sf1.0).
+    same dot / (na · nb) (the two norm factors commute exactly in IEEE);
+    and rounding goes through _round_half_up_arr, the Spark-F.round
+    replica pinned bitwise by TestRoundHalfUpDifferential.  Verified
+    pair-for-pair equal to the join form on every testdata sf
+    (150,941 pairs at sf1.0).
 
-    Rows are processed in 1024-row blocks against the group, bounding
-    task memory at blocksize × group doubles.  At corpus scale a single
-    giant group needs the block-PAIR extension (grid of block×block
-    tasks) — the same quadratic-within-block caveat the join form carried.
-    """
+    BLOCK-PAIR GRID: when the blocking key has fewer groups than the
+    session has cores, one task per group underuses the cluster and a
+    giant group would exceed one task — so each group is split into
+    n_splits deterministic id-hash blocks and every unordered BLOCK PAIR
+    (bi ≤ bj) becomes its own task (row replicated n_splits ways; each
+    vector pair lands in exactly one (min,max) block-pair group).
+    n_splits adapts to ceil(sqrt(parallelism / n_groups)) — 1 when there
+    are already enough groups — so the same code runs one-task-per-group
+    on a many-label corpus and a grid on a few-label one.  Row-blocks of
+    1024 inside the kernel bound task memory either way."""
+    import math
+
     import numpy as np
     import pandas as pd
 
+    spark = embeddings.sparkSession
+    if n_groups_hint is None:
+        # one column-pruned aggregate; at any scale this is a partial-
+        # aggregated distinct over the blocking key only
+        n_groups_hint = embeddings.select(key).distinct().count()
+    par = spark.sparkContext.defaultParallelism
+    n_splits = max(
+        1, math.ceil(math.sqrt(par / max(int(n_groups_hint), 1)))
+    )
+
     empty = {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {c: pd.Series(dtype=t) for c, t in empty.items()}
-            )
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-        dim = E.shape[1]
-        nrm = np.zeros(m)
-        for p in range(dim):
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in empty.items()})
+
+    def _norms(E: np.ndarray) -> np.ndarray:
+        nrm = np.zeros(len(E))
+        for p in range(E.shape[1]):
             x = E[:, p]
             nrm += x * x
-        na = np.sqrt(nrm)
+        return np.sqrt(nrm)
+
+    def _stack(col) -> np.ndarray:
+        return np.stack([np.asarray(e, dtype=np.float64) for e in col])
+
+    def _triangle(ids, E):
+        na = _norms(E)
+        m = len(ids)
         outa, outb, outc = [], [], []
-        block = 1024
-        for i0 in range(0, m, block):
-            i1 = min(i0 + block, m)
+        for i0 in range(0, m, 1024):
+            i1 = min(i0 + 1024, m)
             acc = np.zeros((i1 - i0, m))
-            for p in range(dim):
+            for p in range(E.shape[1]):
                 acc += E[i0:i1, p][:, None] * E[None, :, p]
             cos = acc / (na[i0:i1, None] * na[None, :])
             cos4 = _round_half_up_arr(cos, 4)
@@ -95,6 +114,30 @@ def _grouped_cosine_pairs(
             outa.append(ids[ii + i0])
             outb.append(ids[jj])
             outc.append(cos4[ii, jj])
+        return outa, outb, outc
+
+    def _cross(idsA, EA, idsB, EB):
+        naA, naB = _norms(EA), _norms(EB)
+        mB = len(idsB)
+        outa, outb, outc = [], [], []
+        for i0 in range(0, len(idsA), 1024):
+            i1 = min(i0 + 1024, len(idsA))
+            acc = np.zeros((i1 - i0, mB))
+            for p in range(EA.shape[1]):
+                acc += EA[i0:i1, p][:, None] * EB[None, :, p]
+            cos = acc / (naA[i0:i1, None] * naB[None, :])
+            cos4 = _round_half_up_arr(cos, 4)
+            ii, jj = np.nonzero(cos4 >= threshold)
+            ida, idb = idsA[ii + i0], idsB[jj]
+            outa.append(np.minimum(ida, idb))
+            outb.append(np.maximum(ida, idb))
+            outc.append(cos4[ii, jj])
+        return outa, outb, outc
+
+    def _result(parts):
+        outa, outb, outc = parts
+        if not outa:
+            return _empty()
         return pd.DataFrame(
             {
                 "vec_a": np.concatenate(outa),
@@ -103,9 +146,47 @@ def _grouped_cosine_pairs(
             }
         )
 
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return _empty()
+        gi, gj = int(pdf["_gi"].iloc[0]), int(pdf["_gj"].iloc[0])
+        if gi == gj:
+            pdf = pdf.sort_values("vec_id")
+            return _result(
+                _triangle(pdf["vec_id"].to_numpy(), _stack(pdf["embedding"]))
+            )
+        a = pdf[pdf["_b"] == gi].sort_values("vec_id")
+        b = pdf[pdf["_b"] == gj].sort_values("vec_id")
+        if len(a) == 0 or len(b) == 0:
+            return _empty()
+        return _result(
+            _cross(
+                a["vec_id"].to_numpy(), _stack(a["embedding"]),
+                b["vec_id"].to_numpy(), _stack(b["embedding"]),
+            )
+        )
+
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_splits)).cast("int")
+    grid = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("_b"), F.lit(o)).alias("gi"),
+                    F.greatest(F.col("_b"), F.lit(o)).alias("gj"),
+                )
+                for o in range(n_splits)
+            ]
+        )
+    )
     return (
-        embeddings.select("vec_id", "embedding", key)
-        .groupBy(key)
+        embeddings.select("vec_id", "embedding", F.col(key).alias("_k"))
+        .withColumn("_b", blk)
+        .select("vec_id", "embedding", "_k", "_b", grid.alias("_g"))
+        .select(
+            "vec_id", "embedding", "_k", "_b",
+            F.col("_g.gi").alias("_gi"), F.col("_g.gj").alias("_gj"),
+        )
+        .groupBy("_k", "_gi", "_gj")
         .applyInPandas(fn, "vec_a long, vec_b long, cos double")
     )
 
@@ -144,8 +225,11 @@ def cosine_pairs_lsh(
         ).alias("bucket"),
     )
     # round 7: same per-group vectorised kernel as cosine_pairs, keyed by
-    # the LSH bucket instead of the label
-    return _grouped_cosine_pairs(b, "bucket", threshold)
+    # the LSH bucket instead of the label; the group count is known
+    # statically (2^n_planes), so no distinct-count pre-pass is needed
+    return _grouped_cosine_pairs(
+        b, "bucket", threshold, n_groups_hint=1 << n_planes
+    )
 
 
 def cosine_pairs_lsh_oracle(threshold: float = 0.3, n_planes: int = 4) -> str:

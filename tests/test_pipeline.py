@@ -541,6 +541,46 @@ class TestRoundHalfUpDifferential:
                 )
 
 
+class TestGroupedCosineGrid:
+    def test_block_pair_grid_equals_single_group_kernel(self, spark):
+        """Round 7's block-pair grid (each blocking group split into
+        id-hash blocks, one task per unordered block pair) must emit
+        exactly the same pair set as the one-task-per-group kernel —
+        every unordered pair lands in exactly one (min,max) block-pair
+        group.  Forced via n_groups_hint: a huge hint ⇒ n_splits=1
+        (diagonal only), a tiny hint ⇒ a real grid."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from macocu_crawler_spark.pipeline.similarity import (
+            _grouped_cosine_pairs,
+        )
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)], i % 2)
+            for i in range(300)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        single = sorted(
+            tuple(r)
+            for r in _grouped_cosine_pairs(
+                emb, "label", 0.2, n_groups_hint=10_000
+            ).collect()
+        )
+        grid = sorted(
+            tuple(r)
+            for r in _grouped_cosine_pairs(
+                emb, "label", 0.2, n_groups_hint=1
+            ).collect()
+        )
+        assert len(single) > 20, "vacuous corpus"
+        assert single == grid
+
+
 class TestLloydVectorised:
     """Round 7 vectorised the driver-side Lloyd trainer (numpy) and gave
     F_round_half_up a non-Decimal fast path; both claim BIT equality with
